@@ -1,0 +1,316 @@
+"""Host-facing solver API.
+
+`QPALM` mirrors the reference lifecycle qpalm_setup / qpalm_warm_start /
+qpalm_solve / qpalm_update_* / (no cleanup needed — state is garbage-collected)
+(reference: include/qpalm.h:43-138, interfaces/python/qpalm.py:191-226), but
+the hot path is one jitted, padded, fixed-shape device program.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .scaling import identity_scaling, scale_data
+from .solver.core import init_state, solve_from_state
+from .solver.core import compute_objective as _compute_objective
+from .solver.nonconvex import lobpcg_min_eig, min_eig_settings
+from .types import Info, QPData, ScalingInfo, Settings, Solution, SolveResult
+from .validate import validate_data, validate_settings
+
+__all__ = ["QPALM", "solve", "Settings"]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+# Padding conventions (neutral w.r.t. the solve — see pad_problem):
+_PAD_BOUND = 1e21  # beyond QPALM_INFTY so padded rows count as unconstrained
+
+
+def _densify(M) -> np.ndarray:
+    if hasattr(M, "toarray"):  # scipy sparse
+        return np.asarray(M.toarray())
+    return np.asarray(M)
+
+
+def pad_problem(Q, A, q, bmin, bmax, n_pad: int, m_pad: int, dtype):
+    """Embed the QP in padded fixed shapes without changing its solution.
+
+    Padded variables get a unit Hessian diagonal and zero gradient (they stay
+    exactly 0); padded constraints get zero rows and +-1e21 bounds (beyond
+    QPALM_INFTY, so they are inactive and excluded from every infeasibility
+    test, reference: termination.c:160-177).
+    """
+    n, m = Q.shape[0], A.shape[0]
+    Qp = np.zeros((n_pad, n_pad), dtype)
+    Qp[:n, :n] = Q
+    if n_pad > n:
+        Qp[range(n, n_pad), range(n, n_pad)] = 1.0
+    Ap = np.zeros((m_pad, n_pad), dtype)
+    Ap[:m, :n] = A
+    qp = np.zeros((n_pad,), dtype)
+    qp[:n] = q
+    bl = np.full((m_pad,), -_PAD_BOUND, dtype)
+    bl[:m] = bmin
+    bu = np.full((m_pad,), _PAD_BOUND, dtype)
+    bu[:m] = bmax
+    return Qp, Ap, qp, bl, bu
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "has_x", "has_y"))
+def _setup_and_solve(dataj: QPData, x_ws, y_ws, settings: Settings,
+                     has_x: bool, has_y: bool):
+    """Scale + warm-start-init + full solve, one device program."""
+    if settings.scaling:
+        data, scal = scale_data(dataj, settings.scaling)
+    else:
+        data, scal = dataj, identity_scaling(dataj.n, dataj.m, dataj.Q.dtype)
+    st = init_state(
+        data, scal, settings,
+        x_ws if has_x else None,
+        y_ws if has_y else None,
+    )
+    final = solve_from_state(st, data, scal, settings)
+    x_sol = scal.D * final.x
+    y_sol = scal.E * (scal.cinv * final.yh)
+    obj = _compute_objective(final, data, scal, settings)
+    return final, x_sol, y_sol, obj
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "has_x", "has_y"))
+def _setup_and_init(dataj: QPData, x_ws, y_ws, settings: Settings,
+                    has_x: bool, has_y: bool):
+    if settings.scaling:
+        data, scal = scale_data(dataj, settings.scaling)
+    else:
+        data, scal = dataj, identity_scaling(dataj.n, dataj.m, dataj.Q.dtype)
+    st = init_state(
+        data, scal, settings,
+        x_ws if has_x else None,
+        y_ws if has_y else None,
+    )
+    return st, data, scal
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _solve_chunk(st, data, scal, settings: Settings, limit):
+    final = solve_from_state(st, data, scal, settings, max_iter=limit)
+    x_sol = scal.D * final.x
+    y_sol = scal.E * (scal.cinv * final.yh)
+    obj = _compute_objective(final, data, scal, settings)
+    return final, x_sol, y_sol, obj
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _scale_only(dataj: QPData, iters: int):
+    return scale_data(dataj, iters)
+
+
+class QPALM:
+    """A QPALM solver instance for one problem.
+
+    minimize 0.5 x'Qx + q'x + c   s.t.   bmin <= A x <= bmax
+
+    Accepts dense numpy arrays or scipy sparse matrices for Q (n x n,
+    symmetric) and A (m x n).
+    """
+
+    def __init__(self, Q, A, q, bmin, bmax, c=0.0,
+                 settings: Optional[Settings] = None,
+                 pad_multiple: int = 8):
+        t0 = time.perf_counter()
+        settings = settings or Settings()
+        validate_settings(settings)
+        Q = _densify(Q)
+        A = _densify(A)
+        q = np.asarray(q, float).ravel()
+        bmin = np.asarray(bmin, float).ravel()
+        bmax = np.asarray(bmax, float).ravel()
+        self.n, self.m = validate_data(Q, A, q, bmin, bmax)
+
+        dtype = np.dtype(settings.dtype)
+        self._n_pad = _round_up(self.n, pad_multiple)
+        self._m_pad = _round_up(max(self.m, 1), pad_multiple)
+        Qp, Ap, qp, bl, bu = pad_problem(
+            Q, A, q, bmin, bmax, self._n_pad, self._m_pad, dtype
+        )
+        # clip user infinities to the QPALM convention
+        bl = np.maximum(bl, -_PAD_BOUND)
+        bu = np.minimum(bu, _PAD_BOUND)
+        self._data = QPData(
+            Q=jnp.asarray(Qp), A=jnp.asarray(Ap), q=jnp.asarray(qp),
+            bmin=jnp.asarray(bl), bmax=jnp.asarray(bu),
+            c=jnp.asarray(c, dtype),
+        )
+
+        # nonconvex setup: min-eigenvalue of the *scaled* Q pins gamma
+        # (reference: qpalm_setup -> set_settings_nonconvex, qpalm.c:294-296)
+        if settings.nonconvex:
+            if settings.scaling:
+                sdata, _ = _scale_only(self._data, settings.scaling)
+            else:
+                sdata = self._data
+            x0 = np.zeros(self._n_pad, dtype)
+            rng = np.random.default_rng(0)
+            x0[: self.n] = rng.random(self.n)
+            x0 /= np.linalg.norm(x0)
+            lam = float(lobpcg_min_eig(sdata.Q, jnp.asarray(x0)))
+            settings = min_eig_settings(lam, settings)
+        self.settings = settings
+
+        self._ws_x: Optional[np.ndarray] = None
+        self._ws_y: Optional[np.ndarray] = None
+        self._initialized = False  # a warm start is pending
+        self.info: Optional[Info] = None
+        self.solution: Optional[Solution] = None
+        self._setup_time = time.perf_counter() - t0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def warm_start(self, x=None, y=None):
+        """Provide starting iterates for the next solve (reference:
+        qpalm_warm_start, src/qpalm.c:322-399; applies to one solve, matching
+        the reference's initialized flag)."""
+        dtype = np.dtype(self.settings.dtype)
+        if x is not None:
+            xp = np.zeros(self._n_pad, dtype)
+            xp[: self.n] = np.asarray(x, float).ravel()
+            self._ws_x = xp
+        else:
+            self._ws_x = None
+        if y is not None:
+            yp = np.zeros(self._m_pad, dtype)
+            yp[: self.m] = np.asarray(y, float).ravel()
+            self._ws_y = yp
+        else:
+            self._ws_y = None
+        self._initialized = True
+
+    def solve(self) -> SolveResult:
+        """Run the solver (reference: qpalm_solve, src/qpalm.c:401-736)."""
+        settings = self.settings
+        dtype = np.dtype(settings.dtype)
+        has_x = self._initialized and self._ws_x is not None
+        has_y = self._initialized and self._ws_y is not None
+        zeros_n = jnp.zeros((self._n_pad,), dtype)
+        zeros_m = jnp.zeros((self._m_pad,), dtype)
+        x_ws = jnp.asarray(self._ws_x) if has_x else zeros_n
+        y_ws = jnp.asarray(self._ws_y) if has_y else zeros_m
+
+        t0 = time.perf_counter()
+        if settings.time_limit >= C.QPALM_INFTY:
+            final, x_sol, y_sol, obj = _setup_and_solve(
+                self._data, x_ws, y_ws, settings, has_x, has_y
+            )
+        else:
+            # host-level chunking approximates the reference's in-loop
+            # wall-clock abort (qpalm.c:680-708) without a clock inside jit
+            st, data, scal = _setup_and_init(
+                self._data, x_ws, y_ws, settings, has_x, has_y
+            )
+            chunk = max(1, min(200, settings.max_iter))
+            limit = chunk
+            while True:
+                final, x_sol, y_sol, obj = _solve_chunk(
+                    st, data, scal, settings, jnp.asarray(limit, jnp.int32)
+                )
+                if bool(final.done) or int(final.iter) >= settings.max_iter:
+                    break
+                if time.perf_counter() - t0 > settings.time_limit:
+                    final = final._replace(
+                        status=jnp.asarray(C.QPALM_TIME_LIMIT_REACHED, jnp.int32)
+                    )
+                    break
+                st = final
+                limit = min(limit + chunk, settings.max_iter)
+        solve_time = time.perf_counter() - t0
+
+        self._initialized = False  # reference: qpalm.c:497 (one-shot warm start)
+
+        n, m = self.n, self.m
+        info = Info(
+            iter=final.iter,
+            iter_out=final.iter_out,
+            status_val=final.status,
+            pri_res_norm=final.pri_res_norm,
+            dua_res_norm=final.dua_res_norm,
+            dua2_res_norm=final.dua2_res_norm,
+            objective=obj,
+            dual_objective=final.dual_objective,
+            setup_time=self._setup_time,
+            solve_time=solve_time,
+            run_time=self._setup_time + solve_time,
+        )
+        sol = Solution(x=np.asarray(x_sol)[:n], y=np.asarray(y_sol)[:m])
+        result = SolveResult(
+            solution=sol,
+            info=info,
+            delta_x=np.asarray(final.delta_x)[:n],
+            delta_y=np.asarray(final.delta_y)[:m],
+            state=final,
+        )
+        self.info = info
+        self.solution = sol
+        return result
+
+    # -- parametric updates (reference: src/qpalm.c:739-871) ---------------
+
+    def update_settings(self, settings: Settings):
+        validate_settings(settings)
+        if settings.scaling < self.settings.scaling:
+            raise ValueError(
+                "Decreasing the number of scaling iterations is not allowed"
+            )
+        self.settings = settings
+
+    def update_bounds(self, bmin=None, bmax=None):
+        dtype = np.dtype(self.settings.dtype)
+        bl = np.asarray(self._data.bmin)
+        bu = np.asarray(self._data.bmax)
+        if bmin is not None:
+            new_bl = np.asarray(bmin, float).ravel()
+            if new_bl.shape != (self.m,):
+                raise ValueError("bmin must have length m")
+            bl = bl.copy()
+            bl[: self.m] = np.maximum(new_bl, -_PAD_BOUND)
+        if bmax is not None:
+            new_bu = np.asarray(bmax, float).ravel()
+            if new_bu.shape != (self.m,):
+                raise ValueError("bmax must have length m")
+            bu = bu.copy()
+            bu[: self.m] = np.minimum(new_bu, _PAD_BOUND)
+        if np.any(bl > bu):
+            raise ValueError("Lower bound greater than upper bound")
+        self._data = self._data._replace(
+            bmin=jnp.asarray(bl, dtype), bmax=jnp.asarray(bu, dtype)
+        )
+
+    def update_q(self, q):
+        dtype = np.dtype(self.settings.dtype)
+        new_q = np.asarray(q, float).ravel()
+        if new_q.shape != (self.n,):
+            raise ValueError("q must have length n")
+        qp = np.zeros(self._n_pad, dtype)
+        qp[: self.n] = new_q
+        self._data = self._data._replace(q=jnp.asarray(qp))
+
+
+def solve(Q, A, q, bmin, bmax, c=0.0, settings: Optional[Settings] = None,
+          x0=None, y0=None, **settings_kw) -> SolveResult:
+    """One-shot convenience wrapper: setup + (warm start) + solve."""
+    if settings is None:
+        settings = Settings(**settings_kw)
+    elif settings_kw:
+        settings = settings.replace(**settings_kw)
+    solver = QPALM(Q, A, q, bmin, bmax, c=c, settings=settings)
+    if x0 is not None or y0 is not None:
+        solver.warm_start(x0, y0)
+    return solver.solve()

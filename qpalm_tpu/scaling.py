@@ -1,0 +1,79 @@
+"""Ruiz equilibration of the problem data (reference: src/scaling.c:34-113).
+
+Pure function on dense arrays; the fixed `scaling` iteration count unrolls at
+trace time so the whole thing fuses into a handful of XLA ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .constants import MIN_SCALING
+from .linalg.dense import norm_inf
+from .types import QPData, ScalingInfo
+
+
+def _limit_scaling(v: jnp.ndarray) -> jnp.ndarray:
+    """Clamp tiny norms to 1 (reference: scaling.c:26-32)."""
+    return jnp.where(v < MIN_SCALING, jnp.ones_like(v), v)
+
+
+def identity_scaling(n: int, m: int, dtype) -> ScalingInfo:
+    one = jnp.ones((), dtype)
+    return ScalingInfo(
+        D=jnp.ones((n,), dtype),
+        Dinv=jnp.ones((n,), dtype),
+        E=jnp.ones((m,), dtype),
+        Einv=jnp.ones((m,), dtype),
+        c=one,
+        cinv=one,
+    )
+
+
+def scale_data(data: QPData, iters: int, Qx=None):
+    """Scale the problem (reference: src/scaling.c:34-113).
+
+    Returns (scaled QPData, ScalingInfo).  `Qx` is the current Q@x workspace
+    vector (zeros at setup) used in the cost-scaling norm, matching the
+    reference flow at scaling.c:84-89.
+    """
+    Q, A, q, bmin, bmax = data.Q, data.A, data.q, data.bmin, data.bmax
+    n, m = data.n, data.m
+    dtype = Q.dtype
+    if Qx is None:
+        Qx = jnp.zeros((n,), dtype)
+
+    D = jnp.ones((n,), dtype)
+    E = jnp.ones((m,), dtype)
+    for _ in range(iters):
+        col_norms = jnp.max(jnp.abs(A), axis=0)  # (n,) inf-norm per column
+        row_norms = jnp.max(jnp.abs(A), axis=1)  # (m,) inf-norm per row
+        Dt = 1.0 / jnp.sqrt(_limit_scaling(col_norms))
+        Et = 1.0 / jnp.sqrt(_limit_scaling(row_norms))
+        A = Et[:, None] * A * Dt[None, :]
+        D = D * Dt
+        E = E * Et
+
+    q = D * q
+    Qx = D * Qx
+    c = 1.0 / jnp.maximum(1.0, norm_inf(Qx + q))
+    q = c * q
+    Q = c * (D[:, None] * Q * D[None, :])
+    bmin = E * bmin
+    bmax = E * bmax
+
+    scal = ScalingInfo(D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E, c=c, cinv=1.0 / c)
+    return QPData(Q=Q, A=A, q=q, bmin=bmin, bmax=bmax, c=data.c), scal
+
+
+def rescale_more(data: QPData, scal: ScalingInfo, extra_iters: int):
+    """Run additional Ruiz iterations on already-scaled data and compose the
+    scaling vectors (reference: qpalm_update_settings, src/qpalm.c:754-785;
+    scaling may only increase)."""
+    data2, scal2 = scale_data(data, extra_iters)
+    D = scal.D * scal2.D
+    E = scal.E * scal2.E
+    c = scal.c * scal2.c
+    return data2, ScalingInfo(
+        D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E, c=c, cinv=1.0 / c
+    )

@@ -1,0 +1,643 @@
+"""The QPALM solve loop: proximal augmented Lagrangian with semismooth Newton
+inner iterations, as one jittable/vmappable `lax.while_loop`.
+
+This re-implements the fused outer/inner iteration state machine of the
+reference `qpalm_solve` (reference: src/qpalm.c:401-736) plus the per-iteration
+math of src/iteration.c, src/newton.c and src/termination.c.  Mapping:
+
+  * the ~60 mutable workspace arrays -> one `SolverState` pytree
+  * early `return`s                  -> a `done` flag + status code
+  * the 4-way branch per iteration   -> `lax.switch` on a branch index
+  * sparse LDL' rank-1 surgery       -> masked dense Schur refactorization
+                                        (see qpalm_tpu.linalg.dense)
+
+Everything in this file is pure: (state, data, scaling, settings) -> state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..linalg.dense import (
+    cho_solve,
+    gershgorin_max,
+    newton_solve_kkt,
+    norm_inf,
+    schur_matrix,
+    vec_mid,
+)
+from ..types import QPData, ScalingInfo, Settings, SolverState
+from .linesearch import exact_linesearch
+
+
+# ---------------------------------------------------------------------------
+# state construction / warm start
+# ---------------------------------------------------------------------------
+
+def init_state(
+    data: QPData,
+    scal: ScalingInfo,
+    settings: Settings,
+    x_ws=None,
+    y_ws=None,
+) -> SolverState:
+    """Build the initial solver state (qpalm_warm_start semantics,
+    reference: src/qpalm.c:322-399, and solve-entry resets qpalm.c:410-416).
+
+    `x_ws`/`y_ws` are *unscaled* user warm starts or None for a cold start.
+    """
+    n, m = data.n, data.m
+    dtype = data.Q.dtype
+    f0 = lambda k: jnp.zeros((k,), dtype)
+    gamma = jnp.asarray(settings.gamma_init, dtype)
+
+    if x_ws is not None:
+        x = jnp.asarray(x_ws, dtype) * scal.Dinv
+        Qx_pure = data.Q @ x
+        Qx = Qx_pure + x / gamma if settings.proximal else Qx_pure
+        Ax = data.A @ x
+    else:
+        x = f0(n)
+        Qx = f0(n)
+        Ax = f0(m)
+
+    if y_ws is not None:
+        y = jnp.asarray(y_ws, dtype) * scal.Einv * scal.c
+    else:
+        y = f0(m)
+
+    # initialize_sigma (reference: src/iteration.c:50-84); NB the objective f
+    # uses the workspace Qx, which includes the x/gamma proximal term — kept
+    # for bit-parity with the reference.
+    f = 0.5 * jnp.vdot(x, Qx) + jnp.vdot(data.q, x)
+    dist = Ax - vec_mid(Ax, data.bmin, data.bmax)
+    dist2 = jnp.vdot(dist, dist)
+    sig0 = jnp.clip(
+        settings.sigma_init * jnp.maximum(1.0, jnp.abs(f))
+        / jnp.maximum(1.0, 0.5 * dist2),
+        1e-4,
+        1e4,
+    ).astype(dtype)
+    sigma = jnp.full((m,), 1.0, dtype) * sig0
+
+    fbool = jnp.zeros((), bool)
+    i0 = jnp.zeros((), jnp.int32)
+    s0 = jnp.zeros((), dtype)
+
+    return SolverState(
+        x=x,
+        y=y,
+        x0=x,
+        x_prev=x,
+        Qx=Qx,
+        Ax=Ax,
+        Aty=f0(n),
+        Axys=f0(m),
+        z=f0(m),
+        pri_res=f0(m),
+        pri_res_in=f0(m),
+        yh=f0(m),
+        Atyh=f0(n),
+        df=f0(n),
+        dphi=f0(n),
+        dphi_prev=f0(n),
+        d=f0(n),
+        Qd=f0(n),
+        Ad=f0(m),
+        tau=s0,
+        active=jnp.zeros((m,), bool),
+        active_old=jnp.zeros((m,), bool),
+        nb_enter=i0,
+        nb_leave=i0,
+        L=jnp.zeros((n, n), dtype),
+        factor_valid=fbool,
+        sigma=sigma,
+        sigma_inv=1.0 / sigma,
+        sqrt_sigma=jnp.sqrt(sigma),
+        gamma=gamma,
+        gamma_maxed=jnp.asarray(settings.nonconvex, bool),
+        eps_abs_in=jnp.asarray(settings.eps_abs_in, dtype),
+        eps_rel_in=jnp.asarray(settings.eps_rel_in, dtype),
+        eps_k_abs=jnp.asarray(settings.eps_abs_in, dtype),
+        eps_k_rel=jnp.asarray(settings.eps_rel_in, dtype),
+        pri_res_norm=s0,
+        dua_res_norm=s0,
+        dua2_res_norm=s0,
+        eps_pri=s0,
+        eps_dua=s0,
+        eps_dua_in=s0,
+        delta_y=f0(m),
+        delta_x=f0(n),
+        iter=i0,
+        iter_out=i0,
+        prev_iter=i0,
+        no_change=i0,
+        done=fbool,
+        status=jnp.asarray(C.QPALM_UNSOLVED, jnp.int32),
+        dual_objective=s0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-iteration math (reference: src/iteration.c)
+# ---------------------------------------------------------------------------
+
+def compute_residuals(st: SolverState, data: QPData, settings: Settings) -> SolverState:
+    """reference: src/iteration.c:24-48."""
+    Axys = st.Ax + st.y * st.sigma_inv
+    z = vec_mid(Axys, data.bmin, data.bmax)
+    pri_res = st.Ax - z
+    yh = st.y + pri_res * st.sigma
+    df = st.Qx + data.q  # NB Qx holds Qx + x/gamma when proximal
+    if settings.proximal:
+        df = df - st.x0 / st.gamma
+    Atyh = data.A.T @ yh
+    dphi = df + Atyh
+    return st._replace(
+        Axys=Axys, z=z, pri_res=pri_res, yh=yh, df=df, Atyh=Atyh, dphi=dphi
+    )
+
+
+def update_sigma(st: SolverState, settings: Settings, enabled) -> SolverState:
+    """Per-constraint penalty boosts (reference: src/iteration.c:86-145).
+
+    Any sigma change invalidates the cached Schur factor — the dense analogue
+    of the reference's reset_newton / ldlupdate_sigma_changed dichotomy.
+    """
+    dtype = st.sigma.dtype
+    pri_norm = norm_inf(st.pri_res)
+    cond = (
+        enabled
+        & (jnp.abs(st.pri_res) > settings.theta * jnp.abs(st.pri_res_in))
+        & st.active
+    )
+    mult = jnp.maximum(
+        1.0, settings.delta * jnp.abs(st.pri_res) / (pri_norm + 1e-6)
+    ).astype(dtype)
+    sig_tmp = jnp.minimum(mult * st.sigma, settings.sigma_max)
+    new_sigma = jnp.where(cond, sig_tmp, st.sigma)
+    changed = jnp.sum((new_sigma != st.sigma).astype(jnp.int32), dtype=jnp.int32)
+    return st._replace(
+        sigma=new_sigma,
+        sigma_inv=1.0 / new_sigma,
+        sqrt_sigma=jnp.sqrt(new_sigma),
+        factor_valid=st.factor_valid & (changed == 0),
+    )
+
+
+def _apply_gamma_change(st: SolverState, new_gamma) -> SolverState:
+    """Qx/Qd fixups when gamma changes (reference: iteration.c:153,206-210)."""
+    changed = new_gamma != st.gamma
+    diff = 1.0 / new_gamma - 1.0 / st.gamma
+    Qx = jnp.where(changed, st.Qx + diff * st.x, st.Qx)
+    Qd = jnp.where(changed, st.Qd + st.tau * diff * st.d, st.Qd)
+    return st._replace(
+        gamma=new_gamma, Qx=Qx, Qd=Qd, factor_valid=st.factor_valid & ~changed
+    )
+
+
+def update_gamma(st: SolverState, settings: Settings) -> SolverState:
+    """reference: src/iteration.c:147-156 (no Qd fixup there — tau*diff*d is
+    added here too, which is a no-op in the reference flow because Qd is
+    rebuilt by the next linesearch before being read)."""
+    upd = st.gamma < settings.gamma_max
+    new_gamma = jnp.where(
+        upd, jnp.minimum(st.gamma * settings.gamma_upd, settings.gamma_max), st.gamma
+    )
+    diff = 1.0 / new_gamma - 1.0 / st.gamma
+    Qx = jnp.where(upd, st.Qx + diff * st.x, st.Qx)
+    return st._replace(
+        gamma=new_gamma, Qx=Qx, factor_valid=st.factor_valid & ~upd
+    )
+
+
+def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, active2):
+    """gamma after boost (reference: src/iteration.c:158-205, Schur path)."""
+    dtype = st.sigma.dtype
+    nb_active = jnp.sum(active2.astype(jnp.int32))
+    w = jnp.where(active2, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
+    B = data.A * w[:, None]
+    AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
+    g = gershgorin_max(AtsA)
+    boosted = jnp.maximum(jnp.asarray(settings.gamma_max, dtype), 1e14 / g)
+    return jnp.where(nb_active > 0, boosted, jnp.asarray(1e12, dtype))
+
+
+def compute_objective(st: SolverState, data: QPData, scal: ScalingInfo,
+                      settings: Settings):
+    """reference: src/iteration.c:231-270."""
+    Qx_pure = st.Qx - st.x / st.gamma if settings.proximal else st.Qx
+    obj = jnp.vdot(0.5 * Qx_pure + data.q, st.x)
+    if settings.scaling:
+        obj = obj * scal.cinv
+    return obj + data.c
+
+
+def compute_dual_objective(st: SolverState, data: QPData, scal: ScalingInfo,
+                           settings: Settings, LQ):
+    """reference: src/iteration.c:272-299 (assumes Q positive definite)."""
+    g = st.Aty + data.q
+    v = cho_solve(LQ, g)
+    dual_obj = -0.5 * jnp.vdot(g, v)
+    contrib = jnp.where(st.y > 0, st.y * data.bmax, st.y * data.bmin)
+    dual_obj = dual_obj - jnp.sum(contrib)
+    if settings.scaling:
+        dual_obj = dual_obj * scal.cinv
+    return dual_obj + data.c
+
+
+# ---------------------------------------------------------------------------
+# termination (reference: src/termination.c)
+# ---------------------------------------------------------------------------
+
+def calculate_residuals_and_tolerances(
+    st: SolverState, data: QPData, scal: ScalingInfo, settings: Settings
+) -> SolverState:
+    """reference: src/termination.c:44-129.  With scaling off, scal is the
+    identity and the scaled formulas reduce to the unscaled ones."""
+    pri_res_norm = norm_inf(scal.Einv * st.pri_res)
+
+    if settings.proximal:
+        xx0 = st.x - st.x0
+        dua_res_norm = norm_inf(scal.Dinv * (st.dphi - xx0 / st.gamma))
+        dua2_res_norm = norm_inf(scal.Dinv * st.dphi)
+    else:
+        dua_res_norm = norm_inf(scal.Dinv * st.dphi)
+        dua2_res_norm = dua_res_norm
+    dua_res_norm = dua_res_norm * scal.cinv
+    dua2_res_norm = dua2_res_norm * scal.cinv
+
+    eps_pri = settings.eps_abs + settings.eps_rel * jnp.maximum(
+        norm_inf(scal.Einv * st.Ax), norm_inf(scal.Einv * st.z)
+    )
+
+    max_norm = jnp.maximum(
+        norm_inf(scal.Dinv * st.Qx),
+        jnp.maximum(norm_inf(scal.Dinv * data.q), norm_inf(scal.Dinv * st.Atyh)),
+    ) * scal.cinv
+    eps_dua = settings.eps_abs + settings.eps_rel * max_norm
+    eps_dua_in = st.eps_abs_in + st.eps_rel_in * max_norm
+
+    return st._replace(
+        pri_res_norm=pri_res_norm,
+        dua_res_norm=dua_res_norm,
+        dua2_res_norm=dua2_res_norm,
+        eps_pri=eps_pri,
+        eps_dua=eps_dua,
+        eps_dua_in=eps_dua_in,
+    )
+
+
+def is_primal_infeasible(st: SolverState, data: QPData, scal: ScalingInfo,
+                         settings: Settings):
+    """reference: src/termination.c:136-182.  Returns (flag, unscaled delta_y
+    certificate)."""
+    delta_y = st.yh - st.y
+    eps_norm = settings.eps_prim_inf * norm_inf(scal.E * delta_y)
+    At_dy = scal.Dinv * (st.Atyh - st.Aty)
+
+    has_ub = data.bmax < scal.E * C.QPALM_INFTY
+    has_lb = data.bmin > -scal.E * C.QPALM_INFTY
+    out_of_bounds = jnp.sum(
+        jnp.where(has_ub, data.bmax * jnp.maximum(delta_y, 0.0), 0.0)
+        + jnp.where(has_lb, data.bmin * jnp.minimum(delta_y, 0.0), 0.0)
+    )
+    flag = (
+        (eps_norm > 0)
+        & (norm_inf(At_dy) <= eps_norm)
+        & (out_of_bounds <= -eps_norm)
+    )
+    cert = scal.E * (scal.cinv * delta_y)
+    return flag, cert
+
+
+def is_dual_infeasible(st: SolverState, data: QPData, scal: ScalingInfo,
+                       settings: Settings):
+    """reference: src/termination.c:184-240.  Returns (flag, unscaled delta_x
+    certificate).  NB st.Qd/st.Ad hold tau*Qd / tau*Ad of the last inner step."""
+    delta_x = st.x - st.x_prev
+    Ddx = scal.D * delta_x
+    eps_norm = settings.eps_dual_inf * norm_inf(Ddx)
+    dxdx = jnp.vdot(Ddx, Ddx)
+
+    A_dx = scal.Einv * st.Ad
+    has_ub = data.bmax < scal.E * C.QPALM_INFTY
+    has_lb = data.bmin > -scal.E * C.QPALM_INFTY
+    bound_violation = jnp.any(
+        (has_ub & (A_dx >= eps_norm)) | (has_lb & (A_dx <= -eps_norm))
+    )
+
+    if settings.proximal:
+        Qdx = st.Qd - (st.tau / st.gamma) * st.d
+    else:
+        Qdx = st.Qd
+    dxQdx = jnp.vdot(delta_x, Qdx)
+    e2 = settings.eps_dual_inf * settings.eps_dual_inf
+    cs = scal.c if settings.scaling else jnp.ones((), st.x.dtype)
+    curvature_ok = (dxQdx <= -cs * e2 * dxdx) | (
+        (dxQdx <= cs * e2 * dxdx)
+        & (jnp.vdot(data.q, delta_x) <= -cs * eps_norm)
+    )
+    flag = (eps_norm > 0) & ~bound_violation & curvature_ok
+    cert = scal.D * delta_x
+    return flag, cert
+
+
+# ---------------------------------------------------------------------------
+# newton + primal update (reference: src/newton.c, iteration.c:213-229)
+# ---------------------------------------------------------------------------
+
+def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
+                           ) -> SolverState:
+    """update_primal_iterate (reference: src/iteration.c:213-229)."""
+    dtype = st.x.dtype
+    active = (st.Axys <= data.bmin) | (st.Axys >= data.bmax)
+    nb_enter = jnp.sum((active & ~st.active_old).astype(jnp.int32), dtype=jnp.int32)
+    nb_leave = jnp.sum((~active & st.active_old).astype(jnp.int32), dtype=jnp.int32)
+    reuse = st.factor_valid & (nb_enter == 0) & (nb_leave == 0)
+    neg_dphi = -st.dphi
+
+    method = settings.factorization_method
+    if method == C.FACTORIZE_KKT:
+        d = newton_solve_kkt(
+            data.Q, data.A, st.sigma, active, st.gamma, neg_dphi,
+            settings.proximal,
+        )
+        L = st.L
+    else:
+        # Schur path: refactor only when the active set / penalties changed;
+        # under vmap the cond lowers to a select (both branches run), which is
+        # exactly the dense-batched regime the design targets.
+        gamma_inv = (
+            1.0 / st.gamma if settings.proximal else jnp.zeros((), dtype)
+        )
+
+        def refactor(_):
+            M = schur_matrix(
+                data.Q, data.A, st.sqrt_sigma, active, gamma_inv,
+                settings.proximal,
+            )
+            return jnp.linalg.cholesky(M)
+
+        L = jax.lax.cond(reuse, lambda _: st.L, refactor, None)
+        d = cho_solve(L, neg_dphi)
+        if settings.max_refine > 0:
+            # one matvec-based refinement guard (reference newton.c:57-90)
+            def matvec(v):
+                w = jnp.where(active, st.sigma, jnp.zeros_like(st.sigma))
+                Av = data.A @ v
+                r = data.Q @ v + data.A.T @ (w * Av)
+                if settings.proximal:
+                    r = r + v / st.gamma
+                return r
+
+            def ref_body(i, dd):
+                r = neg_dphi - matvec(dd)
+                return dd + cho_solve(L, r)
+
+            res0 = norm_inf(neg_dphi - matvec(d))
+            ref_norm = jnp.maximum(norm_inf(neg_dphi), 1.0)
+            need = res0 > jnp.maximum(
+                C.RELATIVE_REFINEMENT_TOLERANCE * ref_norm,
+                C.ABSOLUTE_REFINEMENT_TOLERANCE,
+            )
+            d = jax.lax.cond(
+                need,
+                lambda dd: jax.lax.fori_loop(0, settings.max_refine, ref_body, dd),
+                lambda dd: dd,
+                d,
+            )
+
+    st = st._replace(
+        d=d,
+        L=L,
+        active=active,
+        active_old=active,
+        nb_enter=nb_enter,
+        nb_leave=nb_leave,
+        factor_valid=jnp.ones((), bool),
+    )
+
+    # exact linesearch (reference: src/linesearch.c:14-120)
+    Qd = data.Q @ d
+    if settings.proximal:
+        Qd = Qd + d / st.gamma
+    Ad = data.A @ d
+    tau = exact_linesearch(
+        d, Qd, Ad, st.df, st.Ax, st.y, st.sigma, st.sqrt_sigma,
+        data.bmin, data.bmax,
+    )
+
+    Qd_t = tau * Qd
+    Ad_t = tau * Ad
+    return st._replace(
+        x_prev=st.x,
+        dphi_prev=st.dphi,
+        x=st.x + tau * d,
+        tau=tau,
+        Qd=Qd_t,
+        Ad=Ad_t,
+        Qx=st.Qx + Qd_t,
+        Ax=st.Ax + Ad_t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fused outer/inner loop (reference: src/qpalm.c:484-711)
+# ---------------------------------------------------------------------------
+
+def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None):
+    """Build the loop body. Returns fn(state) -> state performing exactly one
+    reference iteration (one trip through the for-loop at qpalm.c:484)."""
+
+    def outer_update(st: SolverState) -> SolverState:
+        """Subproblem converged / stalled: dual + penalty updates
+        (reference: qpalm.c:515-644)."""
+        st = st._replace(no_change=jnp.zeros((), jnp.int32))
+        do_sigma = (st.iter_out > 0) & (st.pri_res_norm > st.eps_pri)
+        st = update_sigma(st, settings, do_sigma)
+        st = st._replace(y=st.yh, Aty=st.Atyh)
+
+        if settings.enable_dual_termination:
+            dual_obj = compute_dual_objective(st, data, scal, settings, LQ)
+            terminated = dual_obj > settings.dual_objective_limit
+            st = st._replace(
+                dual_objective=dual_obj,
+                done=st.done | terminated,
+                status=jnp.where(
+                    terminated,
+                    jnp.asarray(C.QPALM_DUAL_TERMINATED, jnp.int32),
+                    st.status,
+                ),
+            )
+
+        st = st._replace(
+            eps_abs_in=jnp.maximum(settings.eps_abs, settings.rho * st.eps_abs_in),
+            eps_rel_in=jnp.maximum(settings.eps_rel, settings.rho * st.eps_rel_in),
+        )
+
+        if settings.nonconvex:
+            # move the proximal center only when pri_res has caught up
+            # (reference: qpalm.c:586-609)
+            eps_k = st.eps_k_abs + st.eps_k_rel * jnp.maximum(
+                norm_inf(scal.Einv * st.Ax), norm_inf(scal.Einv * st.z)
+            )
+            move = st.pri_res_norm < eps_k
+            st = st._replace(
+                x0=jnp.where(move, st.x, st.x0),
+                eps_k_abs=jnp.where(
+                    move,
+                    jnp.maximum(settings.eps_abs, settings.rho * st.eps_k_abs),
+                    st.eps_k_abs,
+                ),
+                eps_k_rel=jnp.where(
+                    move,
+                    jnp.maximum(settings.eps_rel, settings.rho * st.eps_k_rel),
+                    st.eps_k_rel,
+                ),
+            )
+        elif settings.proximal:
+            # gamma boost when the active set has settled
+            # (reference: qpalm.c:612-630)
+            check = (
+                (~st.gamma_maxed)
+                & (st.iter_out > 0)
+                & (st.nb_enter == 0)
+                & (st.nb_leave == 0)
+                & (st.pri_res_norm < st.eps_pri)
+            )
+            Axys2 = st.Ax + st.y * st.sigma_inv  # y == yh here
+            active2 = (Axys2 <= data.bmin) | (Axys2 >= data.bmax)
+            nb_enter2 = jnp.sum((active2 & ~st.active_old).astype(jnp.int32), dtype=jnp.int32)
+            nb_leave2 = jnp.sum((~active2 & st.active_old).astype(jnp.int32), dtype=jnp.int32)
+            boost = check & (nb_enter2 == 0) & (nb_leave2 == 0)
+
+            boosted_gamma = _boost_gamma_values(st, data, settings, active2)
+            upd = st.gamma < settings.gamma_max
+            stepped_gamma = jnp.where(
+                upd,
+                jnp.minimum(st.gamma * settings.gamma_upd, settings.gamma_max),
+                st.gamma,
+            )
+            new_gamma = jnp.where(boost, boosted_gamma, stepped_gamma)
+            st = _apply_gamma_change(st, new_gamma)
+            st = st._replace(
+                gamma_maxed=st.gamma_maxed | boost,
+                # the boost check overwrites the solver's active-set diff
+                # (reference: qpalm.c:617-618 side effect)
+                active=jnp.where(check, active2, st.active),
+                nb_enter=jnp.where(check, nb_enter2, st.nb_enter),
+                nb_leave=jnp.where(check, nb_leave2, st.nb_leave),
+                x0=st.x,
+            )
+
+        return st._replace(
+            pri_res_in=st.pri_res,
+            iter_out=st.iter_out + 1,
+            prev_iter=st.iter,
+        )
+
+    def inner_exhausted(st: SolverState) -> SolverState:
+        """inner_max_iter hit (reference: qpalm.c:647-660)."""
+        st = st._replace(no_change=jnp.zeros((), jnp.int32))
+        do_sigma = (st.iter_out > 0) & (st.pri_res_norm > st.eps_pri)
+        st = update_sigma(st, settings, do_sigma)
+        if settings.proximal:
+            st = update_gamma(st, settings)
+            if not settings.nonconvex:
+                st = st._replace(x0=st.x)
+        return st._replace(
+            pri_res_in=st.pri_res,
+            iter_out=st.iter_out + 1,
+            prev_iter=st.iter,
+        )
+
+    def inner_step(st: SolverState) -> SolverState:
+        """One semismooth-Newton inner iteration (reference: qpalm.c:662-678)."""
+        st = st._replace(
+            no_change=jnp.where(
+                st.nb_enter + st.nb_leave > 0,
+                jnp.zeros((), jnp.int32),
+                st.no_change + 1,
+            )
+        )
+        reset = (st.iter % settings.reset_newton_iter) == 0
+        st = st._replace(factor_valid=st.factor_valid & ~reset)
+        return _newton_and_linesearch(st, data, settings)
+
+    def iteration(st: SolverState) -> SolverState:
+        st = compute_residuals(st, data, settings)
+        st = calculate_residuals_and_tolerances(st, data, scal, settings)
+
+        solved = (st.pri_res_norm < st.eps_pri) & (st.dua_res_norm < st.eps_dua)
+        pinf, cert_dy = is_primal_infeasible(st, data, scal, settings)
+        dinf, cert_dx = is_dual_infeasible(st, data, scal, settings)
+        terminate = solved | pinf | dinf
+
+        subproblem_done = st.dua2_res_norm <= st.eps_dua_in
+        outer_trigger = subproblem_done | (st.no_change == 3)
+        exhausted = st.iter == st.prev_iter + settings.inner_max_iter
+
+        def terminate_fn(st: SolverState) -> SolverState:
+            status = jnp.where(
+                solved,
+                jnp.asarray(C.QPALM_SOLVED, jnp.int32),
+                jnp.where(
+                    pinf,
+                    jnp.asarray(C.QPALM_PRIMAL_INFEASIBLE, jnp.int32),
+                    jnp.asarray(C.QPALM_DUAL_INFEASIBLE, jnp.int32),
+                ),
+            )
+            return st._replace(
+                done=jnp.ones((), bool),
+                status=status,
+                delta_y=jnp.where(pinf & ~solved, cert_dy, st.delta_y),
+                delta_x=jnp.where(dinf & ~solved & ~pinf, cert_dx, st.delta_x),
+            )
+
+        branch = jnp.where(
+            terminate,
+            0,
+            jnp.where(outer_trigger, 1, jnp.where(exhausted, 2, 3)),
+        ).astype(jnp.int32)
+        st = jax.lax.switch(
+            branch, [terminate_fn, outer_update, inner_exhausted, inner_step], st
+        )
+        # the reference for-loop advances iter except on the terminating trip
+        return st._replace(iter=jnp.where(st.done, st.iter, st.iter + 1))
+
+    return iteration
+
+
+def solve_from_state(
+    st: SolverState,
+    data: QPData,
+    scal: ScalingInfo,
+    settings: Settings,
+    max_iter=None,
+) -> SolverState:
+    """Run the solve loop until termination or max_iter.
+
+    `max_iter` (traceable) lets the host slice the loop into chunks for
+    wall-clock time-limit enforcement (reference: qpalm.c:680-708) without
+    reading a clock inside jit.
+    """
+    LQ = None
+    if settings.enable_dual_termination:
+        LQ = jnp.linalg.cholesky(data.Q)  # assumes Q PD (reference qpalm.c:456-469)
+    iteration = make_iteration(data, scal, settings, LQ)
+    limit = settings.max_iter if max_iter is None else max_iter
+
+    def cond(st: SolverState):
+        return (~st.done) & (st.iter < limit)
+
+    final = jax.lax.while_loop(cond, iteration, st)
+    # max-iter exit (reference: qpalm.c:712-716)
+    hit_max = (~final.done) & (final.iter >= settings.max_iter)
+    return final._replace(
+        status=jnp.where(
+            hit_max, jnp.asarray(C.QPALM_MAX_ITER_REACHED, jnp.int32), final.status
+        ),
+    )

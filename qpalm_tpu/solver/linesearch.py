@@ -1,0 +1,91 @@
+"""Exact piecewise-quadratic linesearch, fixed-shape for XLA.
+
+The reference (src/linesearch.c:14-120) builds 2m breakpoints, filters the
+positive ones with data-dependent compaction, qsorts them, and walks the
+sorted list accumulating (a, b) until the 1-D derivative a*tau + b crosses
+zero.  Data-dependent shapes and a serial walk are both poison for XLA, so
+here the same math becomes:
+
+  * build all 2m breakpoints (invalid ones keyed to +inf),
+  * one `jnp.sort` (fixed shape 2m),
+  * a prefix-sum of the (a, b) increments,
+  * `argmax` of the first sign change.
+
+The walk semantics (including the IEEE inf/nan conventions the reference
+relies on at linesearch.c:46 for delta == 0 entries) are preserved exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def exact_linesearch(
+    d: jnp.ndarray,  # (n,) newton direction
+    Qd: jnp.ndarray,  # (n,) Q d (+ d/gamma when proximal) — precomputed
+    Ad: jnp.ndarray,  # (m,) A d
+    df: jnp.ndarray,  # (n,) gradient of f
+    Ax: jnp.ndarray,  # (m,)
+    y: jnp.ndarray,  # (m,)
+    sigma: jnp.ndarray,  # (m,)
+    sqrt_sigma: jnp.ndarray,  # (m,)
+    bmin: jnp.ndarray,
+    bmax: jnp.ndarray,
+) -> jnp.ndarray:
+    """Return the exact minimizer tau of phi(x + tau*d).
+
+    Mirrors reference linesearch.c:14-120; Qd/Ad are computed by the caller
+    (reference computes them at linesearch.c:17-23) so they can be reused for
+    the iterate update.
+    """
+    dtype = d.dtype
+    eta = jnp.vdot(d, Qd)
+    beta = jnp.vdot(d, df)
+
+    s_ad = sqrt_sigma * Ad
+    delta = jnp.concatenate([-s_ad, s_ad])  # (2m,)
+    alpha_lo = (y + sigma * (Ax - bmin)) / sqrt_sigma
+    alpha_hi = (-y + sigma * (bmax - Ax)) / sqrt_sigma
+    alpha = jnp.concatenate([alpha_lo, alpha_hi])  # (2m,)
+
+    # s = alpha ./ delta with IEEE semantics: delta==0 gives +-inf (kept when
+    # positive, harmless: its increments are 0) or nan (dropped by s > 0).
+    s = alpha / delta
+    l_mask = s > 0  # nan compares false
+    p_mask = delta > 0
+    j_mask = jnp.logical_xor(p_mask, l_mask)
+
+    dd = delta * delta
+    da_raw = delta * alpha
+    jf = j_mask.astype(dtype)
+    a0 = eta + jnp.sum(jf * dd)
+    b0 = beta - jnp.sum(jf * da_raw)
+
+    # per-breakpoint increments applied when the walk passes breakpoint i
+    # (reference linesearch.c:96-117): +dd/-da if delta>0 else -dd/+da
+    inc_a = jnp.where(p_mask, dd, -dd)
+    inc_b = jnp.where(p_mask, -da_raw, da_raw)
+
+    key = jnp.where(l_mask, s, jnp.full_like(s, jnp.inf))
+    order = jnp.argsort(key)
+    s_sorted = key[order]
+    valid = l_mask[order]
+    vf = valid.astype(dtype)
+    inc_a_sorted = inc_a[order] * vf
+    inc_b_sorted = inc_b[order] * vf
+
+    ca = jnp.cumsum(inc_a_sorted)
+    cb = jnp.cumsum(inc_b_sorted)
+    zero = jnp.zeros((1,), dtype)
+    a_k = a0 + jnp.concatenate([zero, ca[:-1]])  # prefix sums before breakpoint k
+    b_k = b0 + jnp.concatenate([zero, cb[:-1]])
+
+    crossed = valid & (a_k * s_sorted + b_k > 0)
+    any_crossed = jnp.any(crossed)
+    k = jnp.argmax(crossed)
+
+    a_fin = a0 + ca[-1]
+    b_fin = b0 + cb[-1]
+    a_sel = jnp.where(any_crossed, a_k[k], a_fin)
+    b_sel = jnp.where(any_crossed, b_k[k], b_fin)
+    return -b_sel / a_sel
