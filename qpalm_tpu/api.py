@@ -18,9 +18,9 @@ import numpy as np
 
 from . import constants as C
 from .scaling import identity_scaling, scale_data
-from .solver.core import init_state, solve_from_state
+from .solver.core import full_solve, init_state, solve_from_state
 from .solver.core import compute_objective as _compute_objective
-from .solver.nonconvex import lobpcg_min_eig, min_eig_settings
+from .solver.nonconvex import lobpcg_min_eig
 from .types import Info, QPData, ScalingInfo, Settings, Solution, SolveResult
 from .validate import validate_data, validate_settings
 
@@ -65,29 +65,14 @@ def pad_problem(Q, A, q, bmin, bmax, n_pad: int, m_pad: int, dtype):
     return Qp, Ap, qp, bl, bu
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "has_x", "has_y"))
-def _setup_and_solve(dataj: QPData, x_ws, y_ws, settings: Settings,
-                     has_x: bool, has_y: bool):
-    """Scale + warm-start-init + full solve, one device program."""
-    if settings.scaling:
-        data, scal = scale_data(dataj, settings.scaling)
-    else:
-        data, scal = dataj, identity_scaling(dataj.n, dataj.m, dataj.Q.dtype)
-    st = init_state(
-        data, scal, settings,
-        x_ws if has_x else None,
-        y_ws if has_y else None,
-    )
-    final = solve_from_state(st, data, scal, settings)
-    x_sol = scal.D * final.x
-    y_sol = scal.E * (scal.cinv * final.yh)
-    obj = _compute_objective(final, data, scal, settings)
-    return final, x_sol, y_sol, obj
+_setup_and_solve = jax.jit(
+    full_solve, static_argnames=("settings", "has_x", "has_y")
+)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "has_x", "has_y"))
 def _setup_and_init(dataj: QPData, x_ws, y_ws, settings: Settings,
-                    has_x: bool, has_y: bool):
+                    has_x: bool, has_y: bool, gamma_init=None, gamma_max=None):
     if settings.scaling:
         data, scal = scale_data(dataj, settings.scaling)
     else:
@@ -96,6 +81,8 @@ def _setup_and_init(dataj: QPData, x_ws, y_ws, settings: Settings,
         data, scal, settings,
         x_ws if has_x else None,
         y_ws if has_y else None,
+        gamma_init=gamma_init,
+        gamma_max=gamma_max,
     )
     return st, data, scal
 
@@ -152,7 +139,10 @@ class QPALM:
         )
 
         # nonconvex setup: min-eigenvalue of the *scaled* Q pins gamma
-        # (reference: qpalm_setup -> set_settings_nonconvex, qpalm.c:294-296)
+        # (reference: qpalm_setup -> set_settings_nonconvex, qpalm.c:294-296).
+        # The pin is passed as a *traced* gamma override, not baked into the
+        # static Settings, so distinct problems share one compiled solver.
+        self._gamma_override: Optional[float] = None
         if settings.nonconvex:
             if settings.scaling:
                 sdata, _ = _scale_only(self._data, settings.scaling)
@@ -163,7 +153,11 @@ class QPALM:
             x0[: self.n] = rng.random(self.n)
             x0 /= np.linalg.norm(x0)
             lam = float(lobpcg_min_eig(sdata.Q, jnp.asarray(x0)))
-            settings = min_eig_settings(lam, settings)
+            if lam < 0:
+                settings = settings.replace(proximal=True)
+                self._gamma_override = 1.0 / abs(lam)
+            else:
+                settings = settings.replace(nonconvex=False)
         self.settings = settings
 
         self._ws_x: Optional[np.ndarray] = None
@@ -205,16 +199,20 @@ class QPALM:
         x_ws = jnp.asarray(self._ws_x) if has_x else zeros_n
         y_ws = jnp.asarray(self._ws_y) if has_y else zeros_m
 
+        govr = self._gamma_override
+        gi = jnp.asarray(govr, dtype) if govr is not None else None
         t0 = time.perf_counter()
         if settings.time_limit >= C.QPALM_INFTY:
             final, x_sol, y_sol, obj = _setup_and_solve(
-                self._data, x_ws, y_ws, settings, has_x, has_y
+                self._data, x_ws, y_ws, settings, has_x, has_y,
+                gamma_init=gi, gamma_max=gi,
             )
         else:
             # host-level chunking approximates the reference's in-loop
             # wall-clock abort (qpalm.c:680-708) without a clock inside jit
             st, data, scal = _setup_and_init(
-                self._data, x_ws, y_ws, settings, has_x, has_y
+                self._data, x_ws, y_ws, settings, has_x, has_y,
+                gamma_init=gi, gamma_max=gi,
             )
             chunk = max(1, min(200, settings.max_iter))
             limit = chunk

@@ -1,0 +1,240 @@
+"""Batched QPALM: solve many independent QPs per chip with one `vmap`.
+
+The reference solves one QP per process (one heap workspace, reference:
+src/qpalm.c:401-736); its batch workloads — Maros-Meszaros sweeps
+(simulations/maros_meszaros/test_maros_meszaros.m) and MPC scenario trees —
+loop over problems on the host.  On TPU the batch *is* the parallelism: the
+whole solve loop in `qpalm_tpu.solver.core` is pure and fixed-shape, so
+`jax.vmap` turns it into one device program over a stacked problem pytree.
+Per-instance early termination becomes the `done` mask inside the while_loop
+(the loop runs until every instance in the batch is done; finished instances
+hit the `terminate_fn` branch and stop mutating).
+
+Heterogeneous problem sizes are handled by padding to a shared shape bucket
+(`pad_and_stack` / `bucket_indices`): padded variables/constraints are
+constructed to be exactly neutral (see qpalm_tpu.api.pad_problem).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .api import _PAD_BOUND, _densify, _round_up, pad_problem
+from .solver.core import full_solve
+from .solver.nonconvex import lobpcg_min_eig
+from .types import QPData, Settings
+
+
+class BatchResult(NamedTuple):
+    """Stacked per-instance results (leading axis = batch)."""
+
+    x: jnp.ndarray  # (B, n_pad) unscaled primal solutions
+    y: jnp.ndarray  # (B, m_pad) unscaled dual solutions
+    status: jnp.ndarray  # (B,) int32 status codes (constants.QPALM_*)
+    iterations: jnp.ndarray  # (B,) int32
+    objective: jnp.ndarray  # (B,)
+    pri_res_norm: jnp.ndarray  # (B,)
+    dua_res_norm: jnp.ndarray  # (B,)
+
+    @property
+    def solved(self) -> jnp.ndarray:
+        return self.status == C.QPALM_SOLVED
+
+
+# in_axes template: batch over every QPData leaf except the scalar objective
+# constant, which is also stacked (it is per-problem)
+_DATA_AXES = QPData(Q=0, A=0, q=0, bmin=0, bmax=0, c=0)
+
+
+def _solve_one(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma):
+    g = gamma if has_gamma else None
+    final, x_sol, y_sol, obj = full_solve(
+        data, x_ws, y_ws, settings,
+        has_x=has_ws, has_y=has_ws,
+        gamma_init=g, gamma_max=g,
+    )
+    return BatchResult(
+        x=x_sol,
+        y=y_sol,
+        status=final.status,
+        iterations=final.iter,
+        objective=obj,
+        pri_res_norm=final.pri_res_norm,
+        dua_res_norm=final.dua_res_norm,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "has_ws", "has_gamma")
+)
+def solve_batch_jit(
+    data: QPData,
+    x_ws: jnp.ndarray,
+    y_ws: jnp.ndarray,
+    gamma: jnp.ndarray,
+    settings: Settings,
+    has_ws: bool,
+    has_gamma: bool,
+) -> BatchResult:
+    """vmapped solve over a stacked `QPData` (leading batch axis on every
+    leaf).  `gamma` is the per-problem nonconvex gamma pin (ignored unless
+    `has_gamma`).  Jittable, shardable (see qpalm_tpu.parallel)."""
+    return jax.vmap(
+        _solve_one, in_axes=(_DATA_AXES, 0, 0, 0, None, None, None)
+    )(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma)
+
+
+def stack_problems(
+    problems: Sequence[tuple],
+    dtype,
+    pad_multiple: int = 8,
+    n_pad: Optional[int] = None,
+    m_pad: Optional[int] = None,
+) -> QPData:
+    """Pad each (Q, A, q, bmin, bmax[, c]) tuple to a common shape and stack
+    into one batched QPData."""
+    sizes = [(_densify(p[0]).shape[0], _densify(p[1]).shape[0]) for p in problems]
+    if n_pad is None:
+        n_pad = _round_up(max(s[0] for s in sizes), pad_multiple)
+    if m_pad is None:
+        m_pad = _round_up(max(max(s[1] for s in sizes), 1), pad_multiple)
+    Qs, As, qs, bls, bus, cs = [], [], [], [], [], []
+    for p in problems:
+        Q, A, q, bmin, bmax = p[:5]
+        c = p[5] if len(p) > 5 else 0.0
+        Qp, Ap, qp, bl, bu = pad_problem(
+            _densify(Q), _densify(A),
+            np.asarray(q, float).ravel(),
+            np.asarray(bmin, float).ravel(),
+            np.asarray(bmax, float).ravel(),
+            n_pad, m_pad, dtype,
+        )
+        Qs.append(Qp)
+        As.append(Ap)
+        qs.append(qp)
+        bls.append(np.maximum(bl, -_PAD_BOUND))
+        bus.append(np.minimum(bu, _PAD_BOUND))
+        cs.append(c)
+    return QPData(
+        Q=jnp.asarray(np.stack(Qs)),
+        A=jnp.asarray(np.stack(As)),
+        q=jnp.asarray(np.stack(qs)),
+        bmin=jnp.asarray(np.stack(bls)),
+        bmax=jnp.asarray(np.stack(bus)),
+        c=jnp.asarray(np.asarray(cs, dtype)),
+    )
+
+
+def bucket_indices(
+    sizes: Sequence[tuple], pad_multiple: int = 8
+) -> dict:
+    """Group problem indices by padded (n_pad, m_pad) bucket, so a
+    heterogeneous sweep compiles one program per bucket instead of per
+    problem (the cost model flagged in SURVEY.md §7)."""
+    buckets: dict = {}
+    for i, (n, m) in enumerate(sizes):
+        key = (_round_up(n, pad_multiple), _round_up(max(m, 1), pad_multiple))
+        buckets.setdefault(key, []).append(i)
+    return buckets
+
+
+def solve_batch(
+    problems: Sequence[tuple],
+    settings: Optional[Settings] = None,
+    x0: Optional[Sequence] = None,
+    y0: Optional[Sequence] = None,
+    pad_multiple: int = 8,
+    **settings_kw,
+) -> BatchResult:
+    """Solve a batch of QPs given as (Q, A, q, bmin, bmax[, c]) tuples.
+
+    All problems are padded to one shared shape; warm starts (`x0`, `y0`) are
+    all-or-none.  For `Settings(nonconvex=True)` each problem's minimum
+    eigenvalue is estimated with a vmapped LOBPCG and gamma is pinned
+    per-problem (reference: nonconvex.c:171-183); problems that turn out
+    convex keep the default proximal schedule.
+    """
+    if settings is None:
+        settings = Settings(**settings_kw)
+    elif settings_kw:
+        settings = settings.replace(**settings_kw)
+    dtype = np.dtype(settings.dtype)
+    data = stack_problems(problems, dtype, pad_multiple)
+    B, n_pad = data.q.shape
+    m_pad = data.bmin.shape[1]
+
+    has_ws = x0 is not None or y0 is not None
+    x_ws = jnp.zeros((B, n_pad), dtype)
+    y_ws = jnp.zeros((B, m_pad), dtype)
+    if has_ws:
+        xs = np.zeros((B, n_pad), dtype)
+        ys = np.zeros((B, m_pad), dtype)
+        for i, p in enumerate(problems):
+            ni = _densify(p[0]).shape[0]
+            mi = _densify(p[1]).shape[0]
+            if x0 is not None:
+                xs[i, :ni] = np.asarray(x0[i], float).ravel()
+            if y0 is not None:
+                ys[i, :mi] = np.asarray(y0[i], float).ravel()
+        x_ws = jnp.asarray(xs)
+        y_ws = jnp.asarray(ys)
+
+    gamma = jnp.full((B,), settings.gamma_init, dtype)
+    has_gamma = False
+    if settings.nonconvex:
+        # per-problem min-eigenvalue of the scaled Q (vmapped LOBPCG)
+        from .scaling import scale_data
+
+        if settings.scaling:
+            sQ = jax.jit(
+                jax.vmap(lambda d: scale_data(d, settings.scaling)[0].Q),
+                static_argnames=(),
+            )(data)
+        else:
+            sQ = data.Q
+        rng = np.random.default_rng(0)
+        v0 = rng.random((B, n_pad)).astype(dtype)
+        v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+        lams = jax.jit(jax.vmap(lobpcg_min_eig))(sQ, jnp.asarray(v0))
+        lams = np.asarray(lams)
+        pins = np.where(lams < 0, 1.0 / np.abs(lams), settings.gamma_init)
+        # convex members keep the default cap; nonconvex members are pinned
+        gamma = jnp.asarray(
+            np.where(lams < 0, pins, settings.gamma_max).astype(dtype)
+        )
+        gamma_init = jnp.asarray(
+            np.where(lams < 0, pins, settings.gamma_init).astype(dtype)
+        )
+        settings = settings.replace(proximal=True)
+        has_gamma = True
+        return _solve_batch_gi(
+            data, x_ws, y_ws, gamma_init, gamma, settings, has_ws
+        )
+
+    return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "has_ws"))
+def _solve_batch_gi(data, x_ws, y_ws, gamma_init, gamma_max, settings, has_ws):
+    """Batch solve with distinct per-problem gamma_init / gamma_max."""
+
+    def one(d, xw, yw, gi, gm):
+        final, x_sol, y_sol, obj = full_solve(
+            d, xw, yw, settings, has_x=has_ws, has_y=has_ws,
+            gamma_init=gi, gamma_max=gm,
+        )
+        return BatchResult(
+            x=x_sol, y=y_sol, status=final.status, iterations=final.iter,
+            objective=obj, pri_res_norm=final.pri_res_norm,
+            dua_res_norm=final.dua_res_norm,
+        )
+
+    return jax.vmap(one, in_axes=(_DATA_AXES, 0, 0, 0, 0))(
+        data, x_ws, y_ws, gamma_init, gamma_max
+    )

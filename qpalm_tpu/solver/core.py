@@ -28,6 +28,7 @@ from ..linalg.dense import (
     schur_matrix,
     vec_mid,
 )
+from ..scaling import identity_scaling, scale_data
 from ..types import QPData, ScalingInfo, Settings, SolverState
 from .linesearch import exact_linesearch
 
@@ -42,16 +43,25 @@ def init_state(
     settings: Settings,
     x_ws=None,
     y_ws=None,
+    gamma_init=None,
+    gamma_max=None,
 ) -> SolverState:
     """Build the initial solver state (qpalm_warm_start semantics,
     reference: src/qpalm.c:322-399, and solve-entry resets qpalm.c:410-416).
 
     `x_ws`/`y_ws` are *unscaled* user warm starts or None for a cold start.
+    `gamma_init`/`gamma_max` are optional *traced* per-problem overrides of the
+    corresponding settings — how nonconvex gamma pinning (reference:
+    nonconvex.c:171-183) stays batchable under vmap without a retrace.
     """
     n, m = data.n, data.m
     dtype = data.Q.dtype
     f0 = lambda k: jnp.zeros((k,), dtype)
-    gamma = jnp.asarray(settings.gamma_init, dtype)
+    if gamma_init is None:
+        gamma_init = settings.gamma_init
+    if gamma_max is None:
+        gamma_max = settings.gamma_max
+    gamma = jnp.asarray(gamma_init, dtype)
 
     if x_ws is not None:
         x = jnp.asarray(x_ws, dtype) * scal.Dinv
@@ -118,6 +128,7 @@ def init_state(
         sqrt_sigma=jnp.sqrt(sigma),
         gamma=gamma,
         gamma_maxed=jnp.asarray(settings.nonconvex, bool),
+        gamma_max=jnp.asarray(gamma_max, dtype),
         eps_abs_in=jnp.asarray(settings.eps_abs_in, dtype),
         eps_rel_in=jnp.asarray(settings.eps_rel_in, dtype),
         eps_k_abs=jnp.asarray(settings.eps_abs_in, dtype),
@@ -202,9 +213,9 @@ def update_gamma(st: SolverState, settings: Settings) -> SolverState:
     """reference: src/iteration.c:147-156 (no Qd fixup there — tau*diff*d is
     added here too, which is a no-op in the reference flow because Qd is
     rebuilt by the next linesearch before being read)."""
-    upd = st.gamma < settings.gamma_max
+    upd = st.gamma < st.gamma_max
     new_gamma = jnp.where(
-        upd, jnp.minimum(st.gamma * settings.gamma_upd, settings.gamma_max), st.gamma
+        upd, jnp.minimum(st.gamma * settings.gamma_upd, st.gamma_max), st.gamma
     )
     diff = 1.0 / new_gamma - 1.0 / st.gamma
     Qx = jnp.where(upd, st.Qx + diff * st.x, st.Qx)
@@ -221,7 +232,7 @@ def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, activ
     B = data.A * w[:, None]
     AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
     g = gershgorin_max(AtsA)
-    boosted = jnp.maximum(jnp.asarray(settings.gamma_max, dtype), 1e14 / g)
+    boosted = jnp.maximum(st.gamma_max.astype(dtype), 1e14 / g)
     return jnp.where(nb_active > 0, boosted, jnp.asarray(1e12, dtype))
 
 
@@ -515,10 +526,10 @@ def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None)
             boost = check & (nb_enter2 == 0) & (nb_leave2 == 0)
 
             boosted_gamma = _boost_gamma_values(st, data, settings, active2)
-            upd = st.gamma < settings.gamma_max
+            upd = st.gamma < st.gamma_max
             stepped_gamma = jnp.where(
                 upd,
-                jnp.minimum(st.gamma * settings.gamma_upd, settings.gamma_max),
+                jnp.minimum(st.gamma * settings.gamma_upd, st.gamma_max),
                 st.gamma,
             )
             new_gamma = jnp.where(boost, boosted_gamma, stepped_gamma)
@@ -641,3 +652,40 @@ def solve_from_state(
             hit_max, jnp.asarray(C.QPALM_MAX_ITER_REACHED, jnp.int32), final.status
         ),
     )
+
+
+def full_solve(
+    dataj: QPData,
+    x_ws: jnp.ndarray,
+    y_ws: jnp.ndarray,
+    settings: Settings,
+    has_x: bool,
+    has_y: bool,
+    gamma_init=None,
+    gamma_max=None,
+):
+    """Scale + warm-start-init + full solve as one pure device program
+    (qpalm_setup + qpalm_warm_start + qpalm_solve, reference qpalm.c:73,322,401).
+
+    Pure in all array arguments, so it jits (the host API), vmaps (problem
+    batches) and shards (see qpalm_tpu.parallel) unchanged.  The optional
+    traced `gamma_init`/`gamma_max` carry per-problem nonconvex gamma pinning.
+
+    Returns (final_state, x_unscaled, y_unscaled, objective).
+    """
+    if settings.scaling:
+        data, scal = scale_data(dataj, settings.scaling)
+    else:
+        data, scal = dataj, identity_scaling(dataj.n, dataj.m, dataj.Q.dtype)
+    st = init_state(
+        data, scal, settings,
+        x_ws if has_x else None,
+        y_ws if has_y else None,
+        gamma_init=gamma_init,
+        gamma_max=gamma_max,
+    )
+    final = solve_from_state(st, data, scal, settings)
+    x_sol = scal.D * final.x
+    y_sol = scal.E * (scal.cinv * final.yh)
+    obj = compute_objective(final, data, scal, settings)
+    return final, x_sol, y_sol, obj

@@ -142,6 +142,9 @@ class SolverState(NamedTuple):
     sqrt_sigma: jnp.ndarray
     gamma: jnp.ndarray  # scalar
     gamma_maxed: jnp.ndarray  # scalar bool
+    # gamma cap carried as *state* (not a static setting) so nonconvex gamma
+    # pinning (reference: nonconvex.c:171-183) is per-problem under vmap
+    gamma_max: jnp.ndarray  # scalar
     # inner tolerance state
     eps_abs_in: jnp.ndarray  # scalar
     eps_rel_in: jnp.ndarray

@@ -1,0 +1,150 @@
+"""QPS/MTX/settings-file drivers (reference: interfaces/qps, interfaces/mtx)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import qpalm_tpu
+from qpalm_tpu import Settings
+from qpalm_tpu.io import load_mtx, load_qps, read_settings_file
+from qpalm_tpu.io.cli import main as cli_main
+
+
+QPS_TEXT = textwrap.dedent("""\
+    NAME          TESTQP
+    ROWS
+     N  obj
+     L  c1
+     G  c2
+     E  c3
+    COLUMNS
+        x1  obj  1.0  c1  1.0
+        x1  c2  1.0
+        x1  c3  1.0
+        x2  obj  2.0  c1  2.0
+        x2  c2  -1.0
+    RHS
+        rhs  c1  4.0  c2  -1.0
+        rhs  c3  1.5
+        rhs  obj  -0.5
+    RANGES
+        rng  c1  2.0
+    BOUNDS
+     UP bnd  x1  3.0
+     FR bnd  x2
+    QUADOBJ
+        x1  x1  2.0
+        x1  x2  0.5
+        x2  x2  2.0
+    ENDATA
+    """)
+
+
+@pytest.fixture
+def qps_file(tmp_path):
+    p = tmp_path / "test.qps"
+    p.write_text(QPS_TEXT)
+    return str(p)
+
+
+def test_qps_parse(qps_file):
+    p = load_qps(qps_file)
+    assert p.name == "TESTQP"
+    assert (p.n, p.m) == (2, 4)
+    np.testing.assert_allclose(p.Q.toarray(), [[2, 0.5], [0.5, 2]])
+    np.testing.assert_allclose(p.q, [1, 2])
+    assert p.c == 0.5
+    # rows: c1 (L, ranged), c2 (G), c3 (E), then the x1 bound row (x2 is FR)
+    np.testing.assert_allclose(p.A.toarray(), [[1, 2], [1, -1], [1, 0], [1, 0]])
+    np.testing.assert_allclose(p.bmin, [2, -1, 1.5, 0])
+    np.testing.assert_allclose(p.bmax, [4, 1e20, 1.5, 3])
+
+
+def test_qps_solve_kkt(qps_file):
+    p = load_qps(qps_file)
+    res = qpalm_tpu.solve(
+        p.Q, p.A, p.q, p.bmin, p.bmax, c=p.c,
+        settings=Settings(eps_abs=1e-6, eps_rel=1e-6),
+    )
+    assert res.info.status == "solved"
+    from helpers import kkt_check
+
+    kkt_check(
+        p.Q.toarray(), p.A.toarray(), p.q, p.bmin, p.bmax,
+        res.solution.x, res.solution.y, tol=1e-5,
+    )
+
+
+def test_qps_unnamed_rhs_and_bounds(tmp_path):
+    text = textwrap.dedent("""\
+        NAME UN
+        ROWS
+         N  obj
+         G  r1
+        COLUMNS
+            x1  obj  -1.0  r1  1.0
+        RHS
+            r1  0.5
+        BOUNDS
+         UP  x1  2.0
+        ENDATA
+        """)
+    p = tmp_path / "u.qps"
+    p.write_text(text)
+    prob = load_qps(str(p))
+    assert (prob.n, prob.m) == (1, 2)
+    np.testing.assert_allclose(prob.bmin, [0.5, 0.0])
+    np.testing.assert_allclose(prob.bmax, [1e20, 2.0])
+
+
+def test_settings_file(tmp_path):
+    p = tmp_path / "settings.txt"
+    p.write_text(
+        "h1\nh2\nh3\nh4\nh5\n"
+        "eps_abs 1e-6\neps_rel 1e-6\nmax_iter 50000\nverbose 1\n"
+        "time_limit 3600\n"
+    )
+    s = read_settings_file(str(p))
+    assert s.eps_abs == 1e-6 and s.max_iter == 50000
+    assert s.verbose is True and s.time_limit == 3600.0
+    with pytest.raises(ValueError):
+        p2 = tmp_path / "bad.txt"
+        p2.write_text("h\nh\nh\nh\nh\nnot_a_setting 1\n")
+        read_settings_file(str(p2))
+
+
+def test_mtx_roundtrip(tmp_path):
+    # A 2x2 QP in the reference's five-file mtx format (qpalm_mtx.c:12-130)
+    (tmp_path / "A.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real general\n3 2 4\n"
+        "1 1 1.0\n2 1 1.0\n1 2 1.0\n3 2 1.0\n"
+    )
+    (tmp_path / "Q.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n2 2 2\n"
+        "1 1 2.0\n2 2 2.0\n"
+    )
+    (tmp_path / "q.mtx").write_text("%%vector\n2\n-2.0\n-6.0\n")
+    (tmp_path / "bmin.mtx").write_text("%%vector\n3\n-1e30\n-1e30\n-1e30\n")
+    (tmp_path / "bmax.mtx").write_text("%%vector\n3\n2.0\n2.0\n3.0\n")
+    prob = load_mtx(
+        str(tmp_path / "A.mtx"), str(tmp_path / "Q.mtx"),
+        str(tmp_path / "q.mtx"), str(tmp_path / "bmin.mtx"),
+        str(tmp_path / "bmax.mtx"),
+    )
+    assert (prob.n, prob.m) == (2, 3)
+    assert prob.bmin[0] == -1e20  # clipped to QPALM infinity
+    res = qpalm_tpu.solve(
+        prob.Q, prob.A, prob.q, prob.bmin, prob.bmax,
+        settings=Settings(eps_abs=1e-6, eps_rel=1e-6),
+    )
+    assert res.info.status == "solved"
+
+
+def test_cli(qps_file, capsys):
+    rc = cli_main(["--platform", "default", qps_file])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Status: solved" in out
+    assert "TESTQP" in out
