@@ -97,9 +97,29 @@ class _Sections:
         return self.lines.get(key, [])
 
 
-def load_qps(path: str) -> QPProblem:
+def load_qps(path: str, native: Optional[bool] = None) -> QPProblem:
     """Parse a QPS/MPS file (new whitespace-separated format, as produced by
-    the reference's old-format converter, qps_conversion.c)."""
+    the reference's old-format converter, qps_conversion.c).
+
+    `native=None` uses the C++ reader (native/qps_reader.cpp) when it is
+    available and silently falls back to this Python parser; True forces
+    native (raising if unavailable); False forces Python.
+    """
+    if native is not False:
+        try:
+            from .native import load_qps_native
+
+            return load_qps_native(path)
+        except ValueError:
+            raise  # genuine parse error from the native reader
+        except Exception:
+            if native:
+                raise
+    return load_qps_python(path)
+
+
+def load_qps_python(path: str) -> QPProblem:
+    """The pure-Python QPS parser (fallback + differential-test oracle)."""
     with open(path, "r") as f:
         secs = _Sections(f.read())
 

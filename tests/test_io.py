@@ -142,6 +142,33 @@ def test_mtx_roundtrip(tmp_path):
     assert res.info.status == "solved"
 
 
+def test_native_parser_matches_python(qps_file):
+    from qpalm_tpu.io.native import load_library
+    from qpalm_tpu.io.qps import load_qps_python
+
+    if load_library() is None:
+        pytest.skip("native QPS reader unavailable")
+    pn = load_qps(qps_file, native=True)
+    pp = load_qps_python(qps_file)
+    assert (pn.name, pn.n, pn.m, pn.c) == (pp.name, pp.n, pp.m, pp.c)
+    np.testing.assert_array_equal(pn.Q.toarray(), pp.Q.toarray())
+    np.testing.assert_array_equal(pn.A.toarray(), pp.A.toarray())
+    np.testing.assert_array_equal(pn.q, pp.q)
+    np.testing.assert_array_equal(pn.bmin, pp.bmin)
+    np.testing.assert_array_equal(pn.bmax, pp.bmax)
+
+
+def test_native_parser_error(tmp_path):
+    from qpalm_tpu.io.native import load_library
+
+    if load_library() is None:
+        pytest.skip("native QPS reader unavailable")
+    p = tmp_path / "bad.qps"
+    p.write_text("NAME X\nROWS\n N obj extra_token_oldformat\nENDATA\n")
+    with pytest.raises(ValueError):
+        load_qps(str(p), native=True)
+
+
 def test_cli(qps_file, capsys):
     rc = cli_main(["--platform", "default", qps_file])
     assert rc == 0
