@@ -201,6 +201,10 @@ class QPALM:
 
         govr = self._gamma_override
         gi = jnp.asarray(govr, dtype) if govr is not None else None
+        if settings.verbose:
+            # header + run banner (reference: util.c:107-119)
+            print(f"qpalm_tpu 0.1.0  (n = {self.n}, m = {self.m})")
+            print("  iter |   pri res    |   dua res    |     tau")
         t0 = time.perf_counter()
         if settings.time_limit >= C.QPALM_INFTY:
             final, x_sol, y_sol, obj = _setup_and_solve(
@@ -230,6 +234,18 @@ class QPALM:
                 st = final
                 limit = min(limit + chunk, settings.max_iter)
         solve_time = time.perf_counter() - t0
+        if settings.verbose:
+            # final boxed message (reference: util.c:121-206)
+            status = C.STATUS_STRINGS.get(int(final.status), "unknown")
+            print("-" * 54)
+            print(f"status:     {status}")
+            print(f"iterations: {int(final.iter)} "
+                  f"(outer: {int(final.iter_out)})")
+            print(f"objective:  {float(obj):.6e}")
+            print(f"pri res:    {float(final.pri_res_norm):.4e}   "
+                  f"dua res: {float(final.dua_res_norm):.4e}")
+            print(f"solve time: {solve_time:.6f} s")
+            print("-" * 54)
 
         self._initialized = False  # reference: qpalm.c:497 (one-shot warm start)
 

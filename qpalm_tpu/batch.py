@@ -53,6 +53,9 @@ _DATA_AXES = QPData(Q=0, A=0, q=0, bmin=0, bmax=0, c=0)
 
 
 def _solve_one(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma):
+    # per-iteration verbose printing is a host callback: meaningless (and
+    # slow, and unsupported on the axon TPU plugin) under vmap — force off
+    settings = settings.replace(verbose=False)
     g = gamma if has_gamma else None
     final, x_sol, y_sol, obj = full_solve(
         data, x_ws, y_ws, settings,
@@ -220,9 +223,62 @@ def solve_batch(
     return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma)
 
 
+def solve_batch_escalate(
+    problems: Sequence[tuple],
+    settings: Optional[Settings] = None,
+    fallback_settings: Optional[Settings] = None,
+    fallback_device=None,
+    **settings_kw,
+) -> BatchResult:
+    """Two-pass batch solve: a fast (typically float32) vmapped pass, then a
+    float64 re-solve of any lane that did not reach `solved` — scattered back
+    into one BatchResult.
+
+    This is the TPU-native answer to the f32 accuracy floor: the bulk rides
+    the MXU in f32, the stragglers (typically a few percent) get full
+    reference-precision treatment, by default on the host CPU (f64 on TPU is
+    emulated and slow).  No reference equivalent — C-QPALM is all-double.
+    """
+    if settings is None:
+        settings = Settings(dtype="float32", **settings_kw)
+    elif settings_kw:
+        settings = settings.replace(**settings_kw)
+    res = solve_batch(problems, settings)
+    status = np.asarray(res.status)
+    bad = [i for i in range(len(problems)) if status[i] != C.QPALM_SOLVED]
+    if not bad:
+        return res
+
+    if fallback_settings is None:
+        fallback_settings = settings.replace(
+            dtype="float64",
+            max_iter=max(settings.max_iter, 4000),
+            refine_fp64=False,
+            residuals_fp64=False,
+        )
+    if fallback_device is None:
+        fallback_device = jax.devices("cpu")[0]
+    with jax.default_device(fallback_device):
+        res2 = solve_batch([problems[i] for i in bad], fallback_settings)
+
+    merged = {}
+    for field in BatchResult._fields:
+        a = np.asarray(getattr(res, field)).copy()
+        b = np.asarray(getattr(res2, field))
+        if a.ndim > 1 and a.shape[1] != b.shape[1]:
+            # fallback bucket may pad differently; align on the smaller width
+            w = min(a.shape[1], b.shape[1])
+            a[bad, :w] = b[:, :w]
+        else:
+            a[bad] = b
+        merged[field] = jnp.asarray(a)
+    return BatchResult(**merged)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "has_ws"))
 def _solve_batch_gi(data, x_ws, y_ws, gamma_init, gamma_max, settings, has_ws):
     """Batch solve with distinct per-problem gamma_init / gamma_max."""
+    settings = settings.replace(verbose=False)
 
     def one(d, xw, yw, gi, gm):
         final, x_sol, y_sol, obj = full_solve(

@@ -79,6 +79,7 @@ def _solve_sharded_jit(
     dtype = data.Q.dtype
     zeros_n = jnp.zeros((n,), dtype)
     zeros_m = jnp.zeros((m,), dtype)
+    settings = settings.replace(verbose=False)  # no host callbacks under SPMD
     final, x_sol, y_sol, obj = full_solve(
         data, zeros_n, zeros_m, settings, has_x=False, has_y=False
     )

@@ -123,6 +123,7 @@ def init_state(
         nb_leave=i0,
         L=jnp.zeros((n, n), dtype),
         factor_valid=fbool,
+        gersh=s0,
         sigma=sigma,
         sigma_inv=1.0 / sigma,
         sqrt_sigma=jnp.sqrt(sigma),
@@ -156,18 +157,46 @@ def init_state(
 # ---------------------------------------------------------------------------
 
 def compute_residuals(st: SolverState, data: QPData, settings: Settings) -> SolverState:
-    """reference: src/iteration.c:24-48."""
-    Axys = st.Ax + st.y * st.sigma_inv
-    z = vec_mid(Axys, data.bmin, data.bmax)
-    pri_res = st.Ax - z
-    yh = st.y + pri_res * st.sigma
-    df = st.Qx + data.q  # NB Qx holds Qx + x/gamma when proximal
+    """reference: src/iteration.c:24-48.
+
+    With `residuals_fp64` (the float32 speed mode) every quantity here is
+    evaluated in float64 from fresh matvecs and *stored* back in float32:
+    storage precision is relative (harmless), while f32 *computation* of
+    dphi = Qx + q + A'yh loses absolute accuracy ~eps_f32*||Qx|| to
+    cancellation, which floors the dual residual around 1e-4 and strands
+    lanes at max_iter.  The O(n^2) emulated-f64 matvecs are noise next to
+    the O(n^2 m) f32 Schur assembly on the MXU.
+    """
+    dtype = st.x.dtype
+    hp = settings.residuals_fp64 and dtype == jnp.float32
+    ct = jnp.float64 if hp else dtype
+    if hp:
+        x = st.x.astype(ct)
+        Qx = data.Q.astype(ct) @ x
+        if settings.proximal:
+            Qx = Qx + x / st.gamma.astype(ct)
+        Ax = data.A.astype(ct) @ x
+        st = st._replace(Qx=Qx.astype(dtype), Ax=Ax.astype(dtype))
+    else:
+        Qx, Ax = st.Qx, st.Ax
+    y = st.y.astype(ct)
+    Axys = Ax + y * st.sigma_inv.astype(ct)
+    z = vec_mid(Axys, data.bmin.astype(ct), data.bmax.astype(ct))
+    pri_res = Ax - z
+    yh = y + pri_res * st.sigma.astype(ct)
+    df = Qx + data.q.astype(ct)  # NB Qx holds Qx + x/gamma when proximal
     if settings.proximal:
-        df = df - st.x0 / st.gamma
-    Atyh = data.A.T @ yh
+        df = df - st.x0.astype(ct) / st.gamma.astype(ct)
+    Atyh = data.A.astype(ct).T @ yh
     dphi = df + Atyh
     return st._replace(
-        Axys=Axys, z=z, pri_res=pri_res, yh=yh, df=df, Atyh=Atyh, dphi=dphi
+        Axys=Axys.astype(dtype),
+        z=z.astype(dtype),
+        pri_res=pri_res.astype(dtype),
+        yh=yh.astype(dtype),
+        df=df.astype(dtype),
+        Atyh=Atyh.astype(dtype),
+        dphi=dphi.astype(dtype),
     )
 
 
@@ -225,14 +254,28 @@ def update_gamma(st: SolverState, settings: Settings) -> SolverState:
 
 
 def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, active2):
-    """gamma after boost (reference: src/iteration.c:158-205, Schur path)."""
+    """gamma after boost (reference: src/iteration.c:158-205, Schur path).
+
+    On the Schur path the Gershgorin bound of A' diag(sigma*active) A is read
+    from the scalar cached at the last factorization (st.gersh) instead of
+    re-assembling the product: when the boost actually fires the active set
+    has settled (nb_enter = nb_leave = 0), so the cached mask equals active2
+    and the bound is exact; sigma cannot have changed this outer update
+    because the boost requires pri_res < eps_pri while sigma updates require
+    the opposite.  The KKT path recomputes it directly.
+    """
     dtype = st.sigma.dtype
     nb_active = jnp.sum(active2.astype(jnp.int32))
-    w = jnp.where(active2, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
-    B = data.A * w[:, None]
-    AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
-    g = gershgorin_max(AtsA)
-    boosted = jnp.maximum(st.gamma_max.astype(dtype), 1e14 / g)
+    if settings.factorization_method == C.FACTORIZE_KKT:
+        w = jnp.where(active2, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
+        B = data.A * w[:, None]
+        AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
+        g = gershgorin_max(AtsA)
+    else:
+        g = st.gersh
+    boosted = jnp.maximum(
+        st.gamma_max.astype(dtype), 1e14 / jnp.maximum(g, 1e-30)
+    )
     return jnp.where(nb_active > 0, boosted, jnp.asarray(1e12, dtype))
 
 
@@ -371,6 +414,7 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
     neg_dphi = -st.dphi
 
     method = settings.factorization_method
+    gersh = st.gersh
     if method == C.FACTORIZE_KKT:
         d = newton_solve_kkt(
             data.Q, data.A, st.sigma, active, st.gamma, neg_dphi,
@@ -386,44 +430,68 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
         )
 
         def refactor(_):
-            M = schur_matrix(
-                data.Q, data.A, st.sqrt_sigma, active, gamma_inv,
-                settings.proximal,
-            )
-            return jnp.linalg.cholesky(M)
+            w = jnp.where(active, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
+            B = data.A * w[:, None]
+            AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
+            g = gershgorin_max(AtsA)
+            M = data.Q + AtsA
+            if settings.proximal:
+                M = M + gamma_inv * jnp.eye(data.n, dtype=dtype)
+            return jnp.linalg.cholesky(M), g
 
-        L = jax.lax.cond(reuse, lambda _: st.L, refactor, None)
+        L, gersh = jax.lax.cond(
+            reuse, lambda _: (st.L, st.gersh), refactor, None
+        )
         d = cho_solve(L, neg_dphi)
         if settings.max_refine > 0:
-            # one matvec-based refinement guard (reference newton.c:57-90)
+            # matvec-based iterative refinement (reference newton.c:57-90).
+            # With refine_fp64 the residual b - M d is evaluated in float64
+            # while the factor stays float32 — classical mixed-precision IR:
+            # the O(n^3)/O(n^2 m) work rides the MXU in f32 and the O(n^2)
+            # residual recovers the accuracy the f32 solve loses on
+            # ill-conditioned M (gamma ~ 1e7 makes cond(M) exceed 1/eps_f32).
+            rdt = (
+                jnp.float64
+                if (settings.refine_fp64 and dtype != jnp.float64)
+                else dtype
+            )
+            Qr = data.Q.astype(rdt)
+            Ar = data.A.astype(rdt)
+            sig_r = st.sigma.astype(rdt)
+
             def matvec(v):
-                w = jnp.where(active, st.sigma, jnp.zeros_like(st.sigma))
-                Av = data.A @ v
-                r = data.Q @ v + data.A.T @ (w * Av)
+                w = jnp.where(active, sig_r, jnp.zeros_like(sig_r))
+                Av = Ar @ v
+                r = Qr @ v + Ar.T @ (w * Av)
                 if settings.proximal:
-                    r = r + v / st.gamma
+                    r = r + v / st.gamma.astype(rdt)
                 return r
 
-            def ref_body(i, dd):
-                r = neg_dphi - matvec(dd)
-                return dd + cho_solve(L, r)
+            b_r = neg_dphi.astype(rdt)
 
-            res0 = norm_inf(neg_dphi - matvec(d))
-            ref_norm = jnp.maximum(norm_inf(neg_dphi), 1.0)
+            def ref_body(i, dd):
+                r = b_r - matvec(dd)
+                return dd + cho_solve(L, r.astype(dtype)).astype(rdt)
+
+            res0 = norm_inf(b_r - matvec(d.astype(rdt)))
+            ref_norm = jnp.maximum(norm_inf(b_r), 1.0)
             need = res0 > jnp.maximum(
                 C.RELATIVE_REFINEMENT_TOLERANCE * ref_norm,
                 C.ABSOLUTE_REFINEMENT_TOLERANCE,
             )
             d = jax.lax.cond(
                 need,
-                lambda dd: jax.lax.fori_loop(0, settings.max_refine, ref_body, dd),
-                lambda dd: dd,
-                d,
+                lambda dd: jax.lax.fori_loop(
+                    0, settings.max_refine, ref_body, dd
+                ).astype(dtype),
+                lambda dd: dd.astype(dtype),
+                d.astype(rdt),
             )
 
     st = st._replace(
         d=d,
         L=L,
+        gersh=gersh,
         active=active,
         active_old=active,
         nb_enter=nb_enter,
@@ -581,6 +649,26 @@ def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None)
     def iteration(st: SolverState) -> SolverState:
         st = compute_residuals(st, data, settings)
         st = calculate_residuals_and_tolerances(st, data, scal, settings)
+
+        # per-iteration row (reference: util.c:107-119, qpalm.c:670-675).
+        # jax.debug.callback is a host round-trip, and the axon TPU plugin
+        # rejects host callbacks outright — so rows print only on backends
+        # that support them (CPU); the host API still prints the final box.
+        if settings.verbose and jax.default_backend() == "cpu":
+            def _row(it, pri, dua, tau):
+                print(
+                    f"{int(it):6d} | {float(pri):.4e} | {float(dua):.4e} "
+                    f"| {float(tau):.4e}"
+                )
+
+            jax.lax.cond(
+                (st.iter % settings.print_iter) == 0,
+                lambda s: jax.debug.callback(
+                    _row, s.iter, s.pri_res_norm, s.dua2_res_norm, s.tau
+                ),
+                lambda s: None,
+                st,
+            )
 
         solved = (st.pri_res_norm < st.eps_pri) & (st.dua_res_norm < st.eps_dua)
         pinf, cert_dy = is_primal_infeasible(st, data, scal, settings)

@@ -62,6 +62,15 @@ class Settings:
     # refinement in the KKT path, newton.c:57-90; we expose it for both paths)
     max_refine: int = C.MAX_REFINEMENT_ITERATIONS
     dtype: str = "float64"  # "float64" (reference parity) or "float32" (speed)
+    # mixed-precision iterative refinement: evaluate the Newton residual in
+    # float64 while the factorization stays in `dtype` (only meaningful for
+    # dtype="float32"; recovers f64-quality directions at f32 MXU cost)
+    refine_fp64: bool = False
+    # float32 speed mode: evaluate the per-iteration residual quantities
+    # (Qx, Ax, dphi, yh) in float64 from fresh matvecs, store float32 —
+    # removes the f32 cancellation floor (~1e-4) on the dual residual while
+    # the dominant Schur assembly + Cholesky stay on the f32 MXU path
+    residuals_fp64: bool = False
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)
@@ -136,6 +145,12 @@ class SolverState(NamedTuple):
     nb_leave: jnp.ndarray  # scalar int
     L: jnp.ndarray  # (n,n) cached Cholesky factor of the Schur matrix
     factor_valid: jnp.ndarray  # scalar bool: L matches current (active, sigma, gamma)
+    # Gershgorin upper bound of A' diag(sigma*active) A cached at
+    # factorization time, so boost_gamma (reference: iteration.c:158-205)
+    # reads a scalar instead of re-assembling the O(n^2 m) product — under
+    # vmap every branch of the iteration runs every step, so that matmul
+    # would otherwise double the per-iteration cost
+    gersh: jnp.ndarray  # scalar
     # penalties
     sigma: jnp.ndarray  # (m,)
     sigma_inv: jnp.ndarray
