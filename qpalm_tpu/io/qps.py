@@ -97,6 +97,71 @@ class _Sections:
         return self.lines.get(key, [])
 
 
+def save_qps(path: str, Q, A, q, bmin, bmax, c: float = 0.0,
+             name: str = "QP") -> None:
+    """Write a QP as a new-format QPS file (round-trips through load_qps).
+
+    General two-sided rows become G rows with a RANGES entry; variables are
+    declared FR (the QP form here has no separate variable bounds — fold
+    them into A like the reference convention if needed).  No reference
+    equivalent (the reference only reads QPS); used by the test suite and
+    the benchmark harness to materialize synthetic problem sets.
+    """
+    Q = np.asarray(Q if not hasattr(Q, "toarray") else Q.toarray(), float)
+    A = np.asarray(A if not hasattr(A, "toarray") else A.toarray(), float)
+    q = np.asarray(q, float).ravel()
+    bmin = np.asarray(bmin, float).ravel()
+    bmax = np.asarray(bmax, float).ravel()
+    n = Q.shape[0]
+    m = A.shape[0]
+    lines = [f"NAME          {name}", "ROWS", " N  obj"]
+    ranges = []
+    for i in range(m):
+        lo, hi = bmin[i], bmax[i]
+        if lo == hi:
+            lines.append(f" E  r{i}")
+        elif lo <= -QPS_INFTY:
+            lines.append(f" L  r{i}")
+        else:
+            lines.append(f" G  r{i}")
+            if hi < QPS_INFTY:
+                ranges.append((i, hi - lo))
+    lines.append("COLUMNS")
+    for j in range(n):
+        if q[j] != 0.0:
+            lines.append(f"    x{j}  obj  {q[j]:.17g}")
+        nz = np.nonzero(A[:, j])[0]
+        for i in nz:
+            lines.append(f"    x{j}  r{i}  {A[i, j]:.17g}")
+        if q[j] == 0.0 and nz.size == 0:
+            lines.append(f"    x{j}  obj  0.0")
+    lines.append("RHS")
+    if c != 0.0:
+        lines.append(f"    rhs  obj  {-c:.17g}")
+    for i in range(m):
+        lo, hi = bmin[i], bmax[i]
+        rhs = hi if (lo <= -QPS_INFTY and lo != hi) else lo
+        if rhs != 0.0 and (abs(rhs) < QPS_INFTY):
+            lines.append(f"    rhs  r{i}  {rhs:.17g}")
+    if ranges:
+        lines.append("RANGES")
+        for i, r in ranges:
+            lines.append(f"    rng  r{i}  {r:.17g}")
+    lines.append("BOUNDS")
+    for j in range(n):
+        lines.append(f" FR bnd  x{j}")
+    tril = np.tril_indices(n)
+    qvals = Q[tril]
+    if np.any(qvals != 0.0):
+        lines.append("QUADOBJ")
+        for (i, j), v in zip(zip(*tril), qvals):
+            if v != 0.0:
+                lines.append(f"    x{j}  x{i}  {v:.17g}")
+    lines.append("ENDATA")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def load_qps(path: str, native: Optional[bool] = None) -> QPProblem:
     """Parse a QPS/MPS file (new whitespace-separated format, as produced by
     the reference's old-format converter, qps_conversion.c).

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""QPS-suite benchmark harness (the Maros-Meszaros driver).
+
+TPU-native equivalent of the reference's MATLAB sweep
+(reference: simulations/maros_meszaros/test_maros_meszaros.m:43-106): parse
+every .qps/.QPS file in a directory, solve at the reference protocol
+(eps_abs = eps_rel = 1e-6 by default), and report per-problem status /
+iterations / runtime / objective plus a summary line.
+
+Usage:
+  python scripts/run_qps_suite.py DIR [--eps 1e-6] [--platform cpu|tpu]
+      [--max-n 2000] [--f32] [--json out.json]
+
+Problems are bucketed by padded shape so each bucket compiles once; within a
+bucket they are solved as one vmapped batch.  `--f32` uses the float32 pass
+with f64 escalation of stragglers (see qpalm_tpu.batch.solve_batch_escalate).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compilation")
+)
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--max-n", type=int, default=2000,
+                    help="skip problems with more variables (dense memory)")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+
+    from qpalm_tpu import Settings
+    from qpalm_tpu.batch import bucket_indices, solve_batch, solve_batch_escalate
+    from qpalm_tpu.io import load_qps
+
+    files = sorted(
+        glob.glob(os.path.join(args.dir, "*.qps"))
+        + glob.glob(os.path.join(args.dir, "*.QPS"))
+        + glob.glob(os.path.join(args.dir, "*.SIF"))
+    )
+    if not files:
+        print(f"no QPS files in {args.dir}", file=sys.stderr)
+        return 1
+
+    problems, names, skipped = [], [], []
+    for f in files:
+        try:
+            p = load_qps(f)
+        except Exception as e:
+            skipped.append((os.path.basename(f), f"parse error: {e}"))
+            continue
+        if p.n > args.max_n:
+            skipped.append((os.path.basename(f), f"n={p.n} > --max-n"))
+            continue
+        problems.append((p.Q, p.A, p.q, p.bmin, p.bmax, p.c))
+        names.append(p.name or os.path.basename(f))
+
+    if args.f32:
+        settings = Settings(
+            dtype="float32", eps_abs=max(args.eps, 1e-4),
+            eps_rel=max(args.eps, 1e-4), max_iter=500, scaling=10,
+            max_refine=2, verbose=False,
+        )
+        solver = lambda probs: solve_batch_escalate(probs, settings)
+    else:
+        settings = Settings(
+            eps_abs=args.eps, eps_rel=args.eps, max_iter=50000,
+            scaling=10, verbose=False,
+        )
+        solver = lambda probs: solve_batch(probs, settings)
+
+    sizes = [(q.shape[0], bl.shape[0]) for _, _, q, bl, _, _ in problems]
+    buckets = bucket_indices(sizes)
+    results = [None] * len(problems)
+    t_total = 0.0
+    for key, idxs in sorted(buckets.items()):
+        sub = [problems[i] for i in idxs]
+        t0 = time.perf_counter()
+        res = solver(sub)
+        dt = time.perf_counter() - t0
+        t_total += dt
+        for j, i in enumerate(idxs):
+            results[i] = {
+                "name": names[i],
+                "n": sizes[i][0],
+                "m": sizes[i][1],
+                "status": int(np.asarray(res.status)[j]),
+                "iter": int(np.asarray(res.iterations)[j]),
+                "objective": float(np.asarray(res.objective)[j]),
+            }
+        print(f"bucket {key}: {len(idxs)} problems in {dt:.2f}s")
+
+    n_solved = sum(1 for r in results if r["status"] == 1)
+    print(f"\n{'name':<16} {'n':>6} {'m':>7} {'status':>7} {'iter':>7} objective")
+    for r in results:
+        print(f"{r['name']:<16} {r['n']:>6} {r['m']:>7} {r['status']:>7} "
+              f"{r['iter']:>7} {r['objective']: .6e}")
+    for name, why in skipped:
+        print(f"{name:<16} SKIPPED ({why})")
+    print(f"\nsolved {n_solved}/{len(results)} "
+          f"(+{len(skipped)} skipped) in {t_total:.2f}s solve time")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"results": results, "skipped": skipped,
+                       "solve_time_s": t_total}, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
