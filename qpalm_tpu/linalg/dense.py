@@ -176,5 +176,7 @@ def newton_solve_kkt(
     gamma_inv = jnp.where(jnp.asarray(proximal), 1.0 / gamma, jnp.zeros((), dtype))
     P = Q + gamma_inv * jnp.eye(n, dtype=dtype)
     S = P + jnp.dot(Am.T * d_inv[None, :], Am, preferred_element_type=dtype)
-    L = jnp.linalg.cholesky(S)
-    return cho_solve(L, neg_dphi)
+    from .pallas_chol import cholesky_batched, cholesky_solve_batched
+
+    R = cholesky_batched(S)
+    return cholesky_solve_batched(R, neg_dphi)

@@ -95,6 +95,57 @@ def _solve_kernel(R_ref, b_ref, x_ref):
     x_ref[:] = x
 
 
+def _chol_kernel_loop(M_ref, R_ref):
+    """fori_loop variant of _chol_kernel: dynamic row access via ref slices,
+    lane extraction via masked reductions.  Much smaller program than the
+    unrolled kernel (compiles in seconds instead of minutes); measured
+    runtime decides which is used."""
+    n = M_ref.shape[-1]
+    cols = _lane_iota(n)  # (1, n)
+    R_ref[:] = M_ref[:]
+
+    def step(k, carry):
+        row = R_ref[:, pl.ds(k, 1), :][:, 0, :]  # (bs, n)
+        akk = jnp.sum(jnp.where(cols == k, row, 0.0), axis=-1)
+        inv = jax.lax.rsqrt(akk)
+        row = row * inv[:, None]
+        row_trail = jnp.where(cols > k, row, 0.0)
+        R_ref[:] = R_ref[:] - row_trail[:, :, None] * row_trail[:, None, :]
+        R_ref[:, pl.ds(k, 1), :] = jnp.where(cols >= k, row, 0.0)[:, None, :]
+        return carry
+
+    jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    R_ref[:] = jnp.where((rows2 <= cols2)[None], R_ref[:], 0.0)
+
+
+def _solve_kernel_loop(R_ref, b_ref, x_ref):
+    """fori_loop variant of _solve_kernel (same access pattern rules)."""
+    n = R_ref.shape[-1]
+    cols = _lane_iota(n)
+
+    def fwd(j, y):
+        rrow = R_ref[:, pl.ds(j, 1), :][:, 0, :]
+        rjj = jnp.sum(jnp.where(cols == j, rrow, 0.0), axis=-1)
+        yj = jnp.sum(jnp.where(cols == j, y, 0.0), axis=-1) / rjj
+        y = y - yj[:, None] * jnp.where(cols > j, rrow, 0.0)
+        return jnp.where(cols == j, yj[:, None], y)
+
+    y = jax.lax.fori_loop(0, n, fwd, b_ref[:])
+
+    def bwd(t, x):
+        k = n - 1 - t
+        rrow = R_ref[:, pl.ds(k, 1), :][:, 0, :]
+        rkk = jnp.sum(jnp.where(cols == k, rrow, 0.0), axis=-1)
+        dot = jnp.sum(jnp.where(cols > k, rrow, 0.0) * x, axis=-1)
+        yk = jnp.sum(jnp.where(cols == k, y, 0.0), axis=-1)
+        xk = (yk - dot) / rkk
+        return jnp.where(cols == k, xk[:, None], x)
+
+    x_ref[:] = jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(y))
+
+
 def _pick_lanes(batch: int) -> int:
     lanes = min(_DEFAULT_LANES, batch)
     while batch % lanes:

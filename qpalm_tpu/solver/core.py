@@ -21,13 +21,13 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..linalg.dense import (
-    cho_solve,
     gershgorin_max,
     newton_solve_kkt,
     norm_inf,
     schur_matrix,
     vec_mid,
 )
+from ..linalg.pallas_chol import cholesky_batched, cholesky_solve_batched
 from ..scaling import identity_scaling, scale_data
 from ..types import QPData, ScalingInfo, Settings, SolverState
 from .linesearch import exact_linesearch
@@ -293,7 +293,7 @@ def compute_dual_objective(st: SolverState, data: QPData, scal: ScalingInfo,
                            settings: Settings, LQ):
     """reference: src/iteration.c:272-299 (assumes Q positive definite)."""
     g = st.Aty + data.q
-    v = cho_solve(LQ, g)
+    v = cholesky_solve_batched(LQ, g)
     dual_obj = -0.5 * jnp.vdot(g, v)
     contrib = jnp.where(st.y > 0, st.y * data.bmax, st.y * data.bmin)
     dual_obj = dual_obj - jnp.sum(contrib)
@@ -437,12 +437,12 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
             M = data.Q + AtsA
             if settings.proximal:
                 M = M + gamma_inv * jnp.eye(data.n, dtype=dtype)
-            return jnp.linalg.cholesky(M), g
+            return cholesky_batched(M), g
 
         L, gersh = jax.lax.cond(
             reuse, lambda _: (st.L, st.gersh), refactor, None
         )
-        d = cho_solve(L, neg_dphi)
+        d = cholesky_solve_batched(L, neg_dphi)
         if settings.max_refine > 0:
             # matvec-based iterative refinement (reference newton.c:57-90).
             # With refine_fp64 the residual b - M d is evaluated in float64
@@ -471,7 +471,7 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
 
             def ref_body(i, dd):
                 r = b_r - matvec(dd)
-                return dd + cho_solve(L, r.astype(dtype)).astype(rdt)
+                return dd + cholesky_solve_batched(L, r.astype(dtype)).astype(rdt)
 
             res0 = norm_inf(b_r - matvec(d.astype(rdt)))
             ref_norm = jnp.maximum(norm_inf(b_r), 1.0)
@@ -725,7 +725,7 @@ def solve_from_state(
     """
     LQ = None
     if settings.enable_dual_termination:
-        LQ = jnp.linalg.cholesky(data.Q)  # assumes Q PD (reference qpalm.c:456-469)
+        LQ = cholesky_batched(data.Q)  # assumes Q PD (reference qpalm.c:456-469)
     iteration = make_iteration(data, scal, settings, LQ)
     limit = settings.max_iter if max_iter is None else max_iter
 
