@@ -142,6 +142,49 @@ def newton_solve_schur(
     return d, L_new
 
 
+def select_factorization_method(Q, A, threshold: float = 2.0) -> int:
+    """The reference's KKT-vs-Schur auto-selector
+    (reference: qpalm_set_factorization_method, solver_interface.c:20-75):
+    choose KKT iff (nnz_kkt / nnz_schur_est)^2 * n/(n+m) < threshold, where
+    nnz_schur_est over-estimates the fill of Q + A'A per column.
+
+    On the dense TPU path the distinction is moot — after block elimination
+    the KKT system reduces to the Schur system, and dense Schur
+    (O(n^2 m) assembly + O(n^3/3) factorization) never loses to dense KKT
+    (O((n+m)^3/3)) — so `FACTORIZE_KKT_OR_SCHUR` resolves to Schur in the
+    solver.  This function reproduces the reference's *sparse* cost model
+    for API parity and for future sparse backends; inputs may be scipy
+    sparse or dense arrays.
+    """
+    import numpy as np
+
+    from .. import constants as C
+
+    if hasattr(Q, "tocsc"):
+        Q = Q.tocsc()
+        Qnnz = Q.nnz
+        n = Q.shape[0]
+    else:
+        Q = np.asarray(Q)
+        Qnnz = int(np.count_nonzero(Q))
+        n = Q.shape[0]
+    if hasattr(A, "tocsc"):
+        As = A.tocsc()
+        m = As.shape[0]
+        Annz = As.nnz
+        col_counts = np.diff(As.indptr)
+    else:
+        As = np.asarray(A)
+        m = As.shape[0]
+        Annz = int(np.count_nonzero(As))
+        col_counts = np.count_nonzero(As, axis=0)
+    nnz_kkt = Qnnz + Annz + m + n  # KKT = [Q+g I, A'; A, -S^-1]
+    # per-column A'A fill over-estimate (reference solver_interface.c:40-58)
+    nnz_schur = Qnnz + int(np.sum(np.minimum(col_counts * Annz / max(m, 1), n)))
+    ratio = (nnz_kkt / max(nnz_schur, 1)) ** 2 * n / max(n + m, 1)
+    return C.FACTORIZE_KKT if ratio < threshold else C.FACTORIZE_SCHUR
+
+
 def newton_solve_kkt(
     Q: jnp.ndarray,
     A: jnp.ndarray,

@@ -164,7 +164,7 @@ def _chol_pallas(M: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     # trace the kernel with x64 off (all operands are f32 anyway)
     with jax.enable_x64(False):
         return pl.pallas_call(
-        _chol_kernel,
+        _chol_kernel_loop,
         grid=(B // lanes,),
         in_specs=[
             pl.BlockSpec((lanes, n, n), lambda i: (i, 0, 0),
@@ -185,7 +185,7 @@ def _solve_pallas(R: jnp.ndarray, b: jnp.ndarray,
     lanes = _pick_lanes(B)
     with jax.enable_x64(False):
         return pl.pallas_call(
-        _solve_kernel,
+        _solve_kernel_loop,
         grid=(B // lanes,),
         in_specs=[
             pl.BlockSpec((lanes, n, n), lambda i: (i, 0, 0),
@@ -202,7 +202,16 @@ def _solve_pallas(R: jnp.ndarray, b: jnp.ndarray,
 
 def _use_pallas(dtype) -> bool:
     # pallas path: TPU backend, f32 (f64 is emulated on TPU; CPU runs the
-    # jnp fallback — the interpreter is exercised only by tests)
+    # jnp fallback — the interpreter is exercised only by tests).
+    # Gated behind QPALM_TPU_PALLAS=1 for now: on this chip the measured win
+    # over XLA's batched cholesky is small (the per-loop-iteration dispatch
+    # floor dominates at moderate batch) while the Mosaic compile of the
+    # factorization kernel costs ~100s per executable — not a good default
+    # trade until the kernel compile is fixed (blocked panels).
+    import os
+
+    if os.environ.get("QPALM_TPU_PALLAS", "0") != "1":
+        return False
     return jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
