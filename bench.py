@@ -62,9 +62,14 @@ def main():
     # delta=10 (vs the reference default 100): gentler penalty boosts keep
     # the Schur matrix conditioned enough for f32 — empirically removes the
     # max_iter straggler tail entirely on this workload (p99 400 -> 58)
+    # max_refine=0: with delta=10 refinement changes nothing on this
+    # workload (identical iteration counts) and costs 2 trisolve pairs +
+    # ~9 matvecs per vmapped iteration
+    # unroll=4 amortizes the ~1.2ms per-device-loop-trip dispatch floor of
+    # this tunneled runtime (results bit-identical; see Settings.unroll)
     s32 = Settings(
         dtype="float32", eps_abs=EPS, eps_rel=EPS, max_iter=120,
-        scaling=2, max_refine=2, delta=10.0,
+        scaling=2, max_refine=0, delta=10.0, unroll=4,
     )
     data = stack_problems(probs, np.float32)
     Bp, n_pad = data.q.shape

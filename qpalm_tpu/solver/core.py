@@ -732,6 +732,17 @@ def solve_from_state(
     def cond(st: SolverState):
         return (~st.done) & (st.iter < limit)
 
+    if settings.unroll > 1:
+        # K iterations per while_loop trip: amortizes the per-trip dispatch
+        # floor.  Safe because a done/limit-hit state passes through
+        # terminate/iteration branches unchanged (iter freezes on done).
+        base = iteration
+
+        def iteration(st: SolverState):  # noqa: F811
+            for _ in range(settings.unroll):
+                st = base(st)
+            return st
+
     final = jax.lax.while_loop(cond, iteration, st)
     # max-iter exit (reference: qpalm.c:712-716)
     hit_max = (~final.done) & (final.iter >= settings.max_iter)

@@ -66,6 +66,11 @@ class Settings:
     # float64 while the factorization stays in `dtype` (only meaningful for
     # dtype="float32"; recovers f64-quality directions at f32 MXU cost)
     refine_fp64: bool = False
+    # solver iterations per while_loop trip (device-loop iterations carry a
+    # fixed dispatch overhead on tunneled TPU runtimes — ~1.2ms measured —
+    # so unrolling K iterations per trip amortizes it; finished lanes hit
+    # the idempotent terminate branch, so results are unchanged)
+    unroll: int = 1
     # float32 speed mode: evaluate the per-iteration residual quantities
     # (Qx, Ax, dphi, yh) in float64 from fresh matvecs, store float32 —
     # removes the f32 cancellation floor (~1e-4) on the dual residual while
