@@ -112,31 +112,73 @@ class QPALM:
 
     def __init__(self, Q, A, q, bmin, bmax, c=0.0,
                  settings: Optional[Settings] = None,
-                 pad_multiple: int = 8):
+                 pad_multiple: int = 8,
+                 sparse: Optional[bool] = None):
         t0 = time.perf_counter()
         settings = settings or Settings()
         validate_settings(settings)
-        Q = _densify(Q)
-        A = _densify(A)
         q = np.asarray(q, float).ravel()
         bmin = np.asarray(bmin, float).ravel()
         bmax = np.asarray(bmax, float).ravel()
-        self.n, self.m = validate_data(Q, A, q, bmin, bmax)
 
+        # large-problem sparse path: keep Q/A as BCOO and solve Newton
+        # systems matrix-free (FACTORIZE_CG) — no n x n memory anywhere.
+        # Auto-enabled for scipy-sparse input beyond the dense memory knee.
+        is_scipy = hasattr(Q, "tocoo") and hasattr(A, "tocoo")
+        if sparse is None:
+            sparse = (
+                is_scipy and Q.shape[0] >= 2048
+            ) or settings.factorization_method == C.FACTORIZE_CG
+        self.sparse = bool(sparse)
         dtype = np.dtype(settings.dtype)
-        self._n_pad = _round_up(self.n, pad_multiple)
-        self._m_pad = _round_up(max(self.m, 1), pad_multiple)
-        Qp, Ap, qp, bl, bu = pad_problem(
-            Q, A, q, bmin, bmax, self._n_pad, self._m_pad, dtype
-        )
-        # clip user infinities to the QPALM convention
-        bl = np.maximum(bl, -_PAD_BOUND)
-        bu = np.minimum(bu, _PAD_BOUND)
-        self._data = QPData(
-            Q=jnp.asarray(Qp), A=jnp.asarray(Ap), q=jnp.asarray(qp),
-            bmin=jnp.asarray(bl), bmax=jnp.asarray(bu),
-            c=jnp.asarray(c, dtype),
-        )
+
+        if self.sparse:
+            import scipy.sparse as sp
+
+            from .linalg.sparse import from_scipy
+
+            if not is_scipy:
+                Q = sp.csc_matrix(np.asarray(Q))
+                A = sp.csc_matrix(np.asarray(A))
+            self.n, self.m = validate_data(Q, A, q, bmin, bmax)
+            if settings.enable_dual_termination:
+                raise ValueError(
+                    "enable_dual_termination requires a factorization of Q "
+                    "and is unsupported on the sparse (CG) path"
+                )
+            settings = settings.replace(
+                factorization_method=C.FACTORIZE_CG
+            )
+            self._n_pad, self._m_pad = self.n, max(self.m, 1)
+            bl = np.maximum(np.asarray(bmin, dtype), -_PAD_BOUND)
+            bu = np.minimum(np.asarray(bmax, dtype), _PAD_BOUND)
+            if self.m == 0:
+                A = sp.csc_matrix((1, self.n))
+                bl = np.array([-_PAD_BOUND], dtype)
+                bu = np.array([_PAD_BOUND], dtype)
+            self._data = QPData(
+                Q=from_scipy(Q, dtype), A=from_scipy(A, dtype),
+                q=jnp.asarray(q, dtype),
+                bmin=jnp.asarray(bl), bmax=jnp.asarray(bu),
+                c=jnp.asarray(c, dtype),
+            )
+        else:
+            Q = _densify(Q)
+            A = _densify(A)
+            self.n, self.m = validate_data(Q, A, q, bmin, bmax)
+            self._n_pad = _round_up(self.n, pad_multiple)
+            self._m_pad = _round_up(max(self.m, 1), pad_multiple)
+            Qp, Ap, qp, bl, bu = pad_problem(
+                Q, A, q, bmin, bmax, self._n_pad, self._m_pad, dtype
+            )
+            # clip user infinities to the QPALM convention
+            bl = np.maximum(bl, -_PAD_BOUND)
+            bu = np.minimum(bu, _PAD_BOUND)
+            self._data = QPData(
+                Q=jnp.asarray(Qp), A=jnp.asarray(Ap), q=jnp.asarray(qp),
+                bmin=jnp.asarray(bl), bmax=jnp.asarray(bu),
+                c=jnp.asarray(c, dtype),
+            )
 
         # nonconvex setup: min-eigenvalue of the *scaled* Q pins gamma
         # (reference: qpalm_setup -> set_settings_nonconvex, qpalm.c:294-296).

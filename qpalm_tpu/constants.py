@@ -85,7 +85,14 @@ MAX_REFINEMENT_ITERATIONS = 3
 FACTORIZE_KKT = 0
 FACTORIZE_SCHUR = 1
 FACTORIZE_KKT_OR_SCHUR = 2
+# TPU-native extension (no reference equivalent): matrix-free Newton via
+# Jacobi-preconditioned CG — the large-sparse path (BCOO data, no dense M)
+FACTORIZE_CG = 3
 FACTORIZATION_METHOD = FACTORIZE_KKT_OR_SCHUR
+
+# CG Newton solve defaults (FACTORIZE_CG mode)
+CG_TOL = 1e-8
+CG_MAX_ITER = 250
 
 LOBPCG_TOL = 1e-5  # reference: nonconvex.c:24
 LOBPCG_MAX_ITER = 1000  # reference: nonconvex.c:111

@@ -35,22 +35,39 @@ def scale_data(data: QPData, iters: int, Qx=None):
 
     Returns (scaled QPData, ScalingInfo).  `Qx` is the current Q@x workspace
     vector (zeros at setup) used in the cost-scaling norm, matching the
-    reference flow at scaling.c:84-89.
+    reference flow at scaling.c:84-89.  Handles dense arrays and BCOO
+    sparse matrices (the large-problem path) with identical semantics.
     """
+    from .linalg.sparse import (
+        col_inf_norms,
+        is_sparse,
+        row_inf_norms,
+        scale_rows_cols,
+        scale_scalar,
+    )
+
     Q, A, q, bmin, bmax = data.Q, data.A, data.q, data.bmin, data.bmax
     n, m = data.n, data.m
-    dtype = Q.dtype
+    sparse = is_sparse(A)
+    dtype = Q.dtype if not sparse else Q.data.dtype
     if Qx is None:
         Qx = jnp.zeros((n,), dtype)
 
     D = jnp.ones((n,), dtype)
     E = jnp.ones((m,), dtype)
     for _ in range(iters):
-        col_norms = jnp.max(jnp.abs(A), axis=0)  # (n,) inf-norm per column
-        row_norms = jnp.max(jnp.abs(A), axis=1)  # (m,) inf-norm per row
+        if sparse:
+            col_norms = col_inf_norms(A)
+            row_norms = row_inf_norms(A)
+        else:
+            col_norms = jnp.max(jnp.abs(A), axis=0)
+            row_norms = jnp.max(jnp.abs(A), axis=1)
         Dt = 1.0 / jnp.sqrt(_limit_scaling(col_norms))
         Et = 1.0 / jnp.sqrt(_limit_scaling(row_norms))
-        A = Et[:, None] * A * Dt[None, :]
+        if sparse:
+            A = scale_rows_cols(A, Et, Dt)
+        else:
+            A = Et[:, None] * A * Dt[None, :]
         D = D * Dt
         E = E * Et
 
@@ -58,7 +75,10 @@ def scale_data(data: QPData, iters: int, Qx=None):
     Qx = D * Qx
     c = 1.0 / jnp.maximum(1.0, norm_inf(Qx + q))
     q = c * q
-    Q = c * (D[:, None] * Q * D[None, :])
+    if sparse:
+        Q = scale_scalar(scale_rows_cols(Q, D, D), c)
+    else:
+        Q = c * (D[:, None] * Q * D[None, :])
     bmin = E * bmin
     bmax = E * bmax
 

@@ -121,7 +121,13 @@ def init_state(
         active_old=jnp.zeros((m,), bool),
         nb_enter=i0,
         nb_leave=i0,
-        L=jnp.zeros((n, n), dtype),
+        # CG mode never factorizes: a dummy 1x1 keeps SolverState O(n) so
+        # large sparse problems do not allocate an n x n factor slot
+        L=jnp.zeros(
+            (1, 1) if settings.factorization_method == C.FACTORIZE_CG
+            else (n, n),
+            dtype,
+        ),
         factor_valid=fbool,
         gersh=s0,
         sigma=sigma,
@@ -415,7 +421,46 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
 
     method = settings.factorization_method
     gersh = st.gersh
-    if method == C.FACTORIZE_KKT:
+    if method == C.FACTORIZE_CG:
+        # matrix-free Newton: Jacobi-preconditioned CG on the Schur operator
+        # (the large-sparse path; works for dense and BCOO data alike)
+        from ..linalg.cg import pcg
+        from ..linalg.sparse import ata_diag, ata_gershgorin_upper, is_sparse, sym_diag
+
+        sparse = is_sparse(data.A)
+        sig_act = jnp.where(active, st.sigma, jnp.zeros_like(st.sigma))
+        gamma_inv = (
+            1.0 / st.gamma if settings.proximal else jnp.zeros((), dtype)
+        )
+
+        def matvec(v):
+            Av = data.A @ v
+            r = data.Q @ v + data.A.T @ (sig_act * Av)
+            if settings.proximal:
+                r = r + v * gamma_inv
+            return r
+
+        if sparse:
+            diagM = sym_diag(data.Q) + gamma_inv + ata_diag(data.A, sig_act)
+            gersh = ata_gershgorin_upper(data.A, sig_act)
+        else:
+            diagM = (
+                jnp.diagonal(data.Q) + gamma_inv
+                + jnp.einsum("mn,m->n", data.A * data.A, sig_act)
+            )
+            gersh = gershgorin_max(
+                jnp.dot(
+                    (data.A * sig_act[:, None]).T, data.A,
+                    preferred_element_type=dtype,
+                )
+            )
+        d, _, _ = pcg(
+            matvec, neg_dphi, diagM,
+            tol=jnp.asarray(settings.cg_tol, dtype),
+            max_iter=settings.cg_max_iter,
+        )
+        L = st.L
+    elif method == C.FACTORIZE_KKT:
         d = newton_solve_kkt(
             data.Q, data.A, st.sigma, active, st.gamma, neg_dphi,
             settings.proximal,

@@ -66,6 +66,10 @@ class Settings:
     # float64 while the factorization stays in `dtype` (only meaningful for
     # dtype="float32"; recovers f64-quality directions at f32 MXU cost)
     refine_fp64: bool = False
+    # CG Newton solve (factorization_method=FACTORIZE_CG): relative residual
+    # tolerance and iteration cap of the matrix-free inner solver
+    cg_tol: float = C.CG_TOL
+    cg_max_iter: int = C.CG_MAX_ITER
     # solver iterations per while_loop trip (device-loop iterations carry a
     # fixed dispatch overhead on tunneled TPU runtimes — ~1.2ms measured —
     # so unrolling K iterations per trip amortizes it; finished lanes hit

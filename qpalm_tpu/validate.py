@@ -13,9 +13,12 @@ class ValidationError(ValueError):
 
 def validate_data(Q, A, q, bmin, bmax):
     """reference: validate.c:18-40 plus basic shape checks the C API gets for
-    free from its struct layout."""
-    Q = np.asarray(Q)
-    A = np.asarray(A)
+    free from its struct layout.  Accepts dense arrays or scipy sparse
+    matrices (only shapes are inspected on the matrices)."""
+    if not hasattr(Q, "tocoo"):
+        Q = np.asarray(Q)
+    if not hasattr(A, "tocoo"):
+        A = np.asarray(A)
     q = np.asarray(q)
     bmin = np.asarray(bmin)
     bmax = np.asarray(bmax)
@@ -77,7 +80,11 @@ def validate_settings(s):
     chk(0 <= s.max_rank_update_fraction <= 1,
         "max_rank_update_fraction must be in [0,1]")
     chk(s.factorization_method in (
-        C.FACTORIZE_KKT, C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR
+        C.FACTORIZE_KKT, C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR,
+        C.FACTORIZE_CG,
     ), "invalid factorization_method")
     chk(s.dtype in ("float64", "float32"), "dtype must be float64 or float32")
+    chk(s.cg_tol > 0, "cg_tol must be positive")
+    chk(s.cg_max_iter > 0, "cg_max_iter must be positive")
+    chk(s.unroll >= 1, "unroll must be >= 1")
     return True

@@ -1,0 +1,109 @@
+"""Sparse (BCOO) data path + matrix-free CG Newton mode — the large-problem
+capability the dense path cannot reach (SURVEY §2.2: LADEL/CHOLMOD sparse
+replacements)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import qpalm_tpu
+from qpalm_tpu import QPALM, Settings
+from qpalm_tpu.constants import FACTORIZE_CG
+from qpalm_tpu.linalg.sparse import (
+    ata_diag,
+    ata_gershgorin_upper,
+    col_inf_norms,
+    from_scipy,
+    row_inf_norms,
+    scale_rows_cols,
+    sym_diag,
+)
+
+from helpers import kkt_check
+
+S = Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+
+
+def _sparse_qp(n, m, seed=0, density=0.05):
+    rng = np.random.default_rng(seed)
+    Qh = sp.random(n, n, density=density, random_state=seed,
+                   data_rvs=rng.standard_normal)
+    Q = (Qh @ Qh.T + 0.5 * sp.eye(n)).tocsc()
+    A = sp.random(m, n, density=density, random_state=seed + 1,
+                  data_rvs=rng.standard_normal).tocsc()
+    q = rng.standard_normal(n)
+    u = 2 * rng.random(m) + 0.1
+    return Q, A, q, -u, u
+
+
+def test_sparse_helpers_match_dense():
+    Q, A, q, bmin, bmax = _sparse_qp(12, 17, seed=2)
+    Ab = from_scipy(A, np.float64)
+    Qb = from_scipy(Q, np.float64)
+    Ad = A.toarray()
+    np.testing.assert_allclose(row_inf_norms(Ab), np.abs(Ad).max(axis=1))
+    np.testing.assert_allclose(col_inf_norms(Ab), np.abs(Ad).max(axis=0))
+    E = np.linspace(1, 2, 17)
+    D = np.linspace(0.5, 1.5, 12)
+    np.testing.assert_allclose(
+        scale_rows_cols(Ab, E, D).todense(), E[:, None] * Ad * D[None, :]
+    )
+    np.testing.assert_allclose(sym_diag(Qb), np.diagonal(Q.toarray()))
+    s = np.linspace(0.1, 3.0, 17)
+    np.testing.assert_allclose(
+        ata_diag(Ab, s), np.diagonal(Ad.T @ (s[:, None] * Ad)), atol=1e-12
+    )
+    # upper bound dominates the true gershgorin bound
+    M = Ad.T @ (s[:, None] * Ad)
+    gersh_true = np.max(np.abs(M).sum(axis=1))
+    assert float(ata_gershgorin_upper(Ab, s)) >= gersh_true - 1e-9
+
+
+def test_sparse_cg_matches_dense_path():
+    Q, A, q, bmin, bmax = _sparse_qp(20, 30, seed=3, density=0.3)
+    r_sparse = QPALM(Q, A, q, bmin, bmax, settings=S, sparse=True).solve()
+    r_dense = QPALM(Q.toarray(), A.toarray(), q, bmin, bmax, settings=S).solve()
+    assert r_sparse.info.status == "solved"
+    np.testing.assert_allclose(
+        r_sparse.solution.x, r_dense.solution.x, atol=1e-8
+    )
+
+
+def test_sparse_medium_qp_kkt():
+    Q, A, q, bmin, bmax = _sparse_qp(120, 180, seed=5, density=0.05)
+    solver = QPALM(Q, A, q, bmin, bmax, settings=S, sparse=True)
+    assert solver.settings.factorization_method == FACTORIZE_CG
+    res = solver.solve()
+    assert res.info.status == "solved"
+    kkt_check(Q.toarray(), A.toarray(), q, bmin, bmax,
+              res.solution.x, res.solution.y, tol=1e-5)
+
+
+def test_sparse_warm_start_and_updates():
+    Q, A, q, bmin, bmax = _sparse_qp(40, 60, seed=6, density=0.2)
+    solver = QPALM(Q, A, q, bmin, bmax, settings=S, sparse=True)
+    r1 = solver.solve()
+    solver.warm_start(r1.solution.x, r1.solution.y)
+    r2 = solver.solve()
+    assert r2.info.status == "solved" and int(r2.info.iter) < 12
+    solver.update_bounds(bmin - 0.5, bmax + 0.5)
+    solver.update_q(-q)
+    r3 = solver.solve()
+    assert r3.info.status == "solved"
+    kkt_check(Q.toarray(), A.toarray(), -q, bmin - 0.5, bmax + 0.5,
+              r3.solution.x, r3.solution.y, tol=1e-4)
+
+
+def test_sparse_primal_infeasible():
+    A = sp.csc_matrix(np.array([[1.0], [1.0]]))
+    Q = sp.csc_matrix(np.eye(1))
+    res = QPALM(Q, A, np.zeros(1), np.array([1.0, -1e30]),
+                np.array([1e30, 0.0]), settings=S, sparse=True).solve()
+    assert res.info.status == "primal infeasible"
+
+
+def test_sparse_dual_termination_rejected():
+    Q, A, q, bmin, bmax = _sparse_qp(10, 12, seed=7, density=0.3)
+    with pytest.raises(ValueError):
+        QPALM(Q, A, q, bmin, bmax, sparse=True,
+              settings=S.replace(enable_dual_termination=True))
