@@ -112,6 +112,19 @@ def _chain_dynamics(n_masses: int, dt: float = 0.1):
     return Ad, Bd
 
 
+def mpc_stage_permutation(nx: int, nu: int, N: int) -> np.ndarray:
+    """Permutation taking z = [x_1..x_N | u_0..u_{N-1}] to stage-interleaved
+    order z' = [x_1, u_0, x_2, u_1, ...] — the ordering under which the
+    P-ALM Schur matrix is block-tridiagonal with block size nx+nu
+    (the structure qpalm_tpu.parallel.block_tridiag partitions across
+    devices)."""
+    perm = []
+    for k in range(N):
+        perm.extend(range(k * nx, (k + 1) * nx))
+        perm.extend(range(N * nx + k * nu, N * nx + (k + 1) * nu))
+    return np.asarray(perm)
+
+
 def mpc_chain(n_masses: int = 6, horizon: int = 10, x0=None, seed: int = 0):
     """Sparse (stage-banded) MPC QP for the oscillating-masses chain.
 
