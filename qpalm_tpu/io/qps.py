@@ -175,18 +175,70 @@ def load_qps(path: str, native: Optional[bool] = None) -> QPProblem:
             from .native import load_qps_native
 
             return load_qps_native(path)
-        except ValueError:
-            raise  # genuine parse error from the native reader
         except Exception:
+            # fall through to Python on any failure (including parse errors:
+            # old fixed-column files are converted there) unless native was
+            # explicitly requested
             if native:
                 raise
     return load_qps_python(path)
 
 
+def convert_old_format(text: str) -> str:
+    """Convert an old fixed-column QPS/MPS file (names may contain spaces)
+    to the new whitespace-separated format (reference:
+    qps_conversion.c:37-160 — spaces inside name fields are removed).
+
+    Fields follow the classic MPS columns (1-indexed): 2-3, 5-12, 15-22,
+    25-36, 40-47, 50-61; parsed leniently (fields are stripped and internal
+    spaces deleted).
+    """
+    def f(line, a, b):
+        return line[a:b].replace(" ", "").replace("\t", "")
+
+    out = []
+    section = None
+    for raw in text.splitlines():
+        if not raw.strip() or raw.lstrip().startswith("*"):
+            continue
+        if raw[0] not in (" ", "\t"):
+            toks = raw.split()
+            section = toks[0].upper()
+            out.append(raw.rstrip())
+            continue
+        if section == "ROWS":
+            out.append(f" {f(raw, 1, 3)}  {f(raw, 3, 13)}")
+        elif section in ("COLUMNS", "RHS", "RANGES"):
+            toks = [f(raw, 1, 13), f(raw, 13, 23), f(raw, 23, 38)]
+            if len(raw.rstrip()) > 39:
+                toks += [f(raw, 38, 49), f(raw, 49, 62)]
+            out.append("    " + "  ".join(t for t in toks if t))
+        elif section == "BOUNDS":
+            toks = [f(raw, 1, 4), f(raw, 4, 13), f(raw, 13, 23),
+                    f(raw, 23, 38)]
+            out.append(" " + "  ".join(t for t in toks if t))
+        elif section == "QUADOBJ":
+            toks = [f(raw, 1, 13), f(raw, 13, 23), f(raw, 23, 38)]
+            out.append("    " + "  ".join(t for t in toks if t))
+        else:
+            out.append(raw.rstrip())
+    return "\n".join(out) + "\n"
+
+
 def load_qps_python(path: str) -> QPProblem:
-    """The pure-Python QPS parser (fallback + differential-test oracle)."""
+    """The pure-Python QPS parser (fallback + differential-test oracle).
+    Old fixed-column files (reference: qps_conversion.c) are auto-converted
+    on a failed new-format parse."""
     with open(path, "r") as f:
-        secs = _Sections(f.read())
+        text = f.read()
+    try:
+        return _parse_qps_text(text)
+    except ValueError:
+        return _parse_qps_text(convert_old_format(text))
+
+
+def _parse_qps_text(text: str) -> QPProblem:
+    secs = _Sections(text)
 
     # ---- ROWS ------------------------------------------------------------
     objective = ""

@@ -142,6 +142,44 @@ def test_mtx_roundtrip(tmp_path):
     assert res.info.status == "solved"
 
 
+def _fields(*pairs):
+    line = ""
+    for col, text in pairs:
+        line = line.ljust(col) + text
+    return line
+
+
+def test_old_fixed_column_format(tmp_path):
+    """Old fixed-column MPS with spaces inside names auto-converts
+    (reference: qps_conversion.c:37-160 — spaces in name fields removed)."""
+    L = [
+        "NAME          OLDQP",
+        "ROWS",
+        _fields((1, "N"), (4, "COST")),
+        _fields((1, "L"), (4, "LIM 1")),
+        _fields((1, "G"), (4, "LIM2")),
+        "COLUMNS",
+        _fields((4, "X 1"), (14, "COST"), (24, "1.0"), (39, "LIM 1"), (49, "2.0")),
+        _fields((4, "X 1"), (14, "LIM2"), (24, "1.0")),
+        _fields((4, "X2"), (14, "COST"), (24, "2.0"), (39, "LIM 1"), (49, "1.0")),
+        "RHS",
+        _fields((4, "RHS"), (14, "LIM 1"), (24, "4.0"), (39, "LIM2"), (49, "1.0")),
+        "BOUNDS",
+        _fields((1, "UP"), (4, "BND"), (14, "X 1"), (24, "4.0")),
+        "QUADOBJ",
+        _fields((4, "X 1"), (14, "X 1"), (24, "2.0")),
+        _fields((4, "X2"), (14, "X2"), (24, "2.0")),
+        "ENDATA",
+    ]
+    p = tmp_path / "old.qps"
+    p.write_text("\n".join(L) + "\n")
+    prob = load_qps(str(p))
+    assert (prob.n, prob.m) == (2, 4)
+    np.testing.assert_allclose(prob.A.toarray(), [[2, 1], [1, 0], [1, 0], [0, 1]])
+    np.testing.assert_allclose(prob.Q.toarray(), [[2, 0], [0, 2]])
+    np.testing.assert_allclose(prob.bmax, [4, 1e20, 4, 1e20])
+
+
 def test_native_parser_matches_python(qps_file):
     from qpalm_tpu.io.native import load_library
     from qpalm_tpu.io.qps import load_qps_python
