@@ -26,6 +26,13 @@ import time
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compilation")
 )
+# Pallas batched Cholesky (QPALM_TPU_PALLAS=1) measured 1.8x faster than
+# XLA's at this shape (3.8 vs 6.9 ms per factor+solve; whole bench 846 vs
+# 737 solves/s) — but the axon remote compiler does not cache Mosaic
+# kernels across processes and its compile time is variable (7-10 min),
+# which can blow the bench budget.  Default to the reliably-compiling XLA
+# path; flip the env var to benchmark the kernel.
+os.environ.setdefault("QPALM_TPU_PALLAS", "0")
 
 import numpy as np  # noqa: E402
 

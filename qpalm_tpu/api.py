@@ -166,6 +166,13 @@ class QPALM:
             Q = _densify(Q)
             A = _densify(A)
             self.n, self.m = validate_data(Q, A, q, bmin, bmax)
+            if settings.factorization_method == C.FACTORIZE_STAGE:
+                # padding would shift the stage blocks; keep exact shapes
+                if self.n % max(settings.stage_block, 1):
+                    raise ValueError(
+                        "FACTORIZE_STAGE: n must be divisible by stage_block"
+                    )
+                pad_multiple = 1
             self._n_pad = _round_up(self.n, pad_multiple)
             self._m_pad = _round_up(max(self.m, 1), pad_multiple)
             Qp, Ap, qp, bl, bu = pad_problem(

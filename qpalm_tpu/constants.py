@@ -88,6 +88,12 @@ FACTORIZE_KKT_OR_SCHUR = 2
 # TPU-native extension (no reference equivalent): matrix-free Newton via
 # Jacobi-preconditioned CG — the large-sparse path (BCOO data, no dense M)
 FACTORIZE_CG = 3
+# TPU-native extension: stage-structured Newton — the Schur matrix of a
+# stage-ordered MPC QP is block-tridiagonal; solve it with block Thomas
+# (single device) instead of a dense Cholesky.  Requires
+# Settings.stage_block = nx + nu.  The distributed variant is
+# parallel.block_tridiag.spike_solve.
+FACTORIZE_STAGE = 4
 FACTORIZATION_METHOD = FACTORIZE_KKT_OR_SCHUR
 
 # CG Newton solve defaults (FACTORIZE_CG mode)

@@ -121,10 +121,11 @@ def init_state(
         active_old=jnp.zeros((m,), bool),
         nb_enter=i0,
         nb_leave=i0,
-        # CG mode never factorizes: a dummy 1x1 keeps SolverState O(n) so
-        # large sparse problems do not allocate an n x n factor slot
+        # CG/STAGE modes never cache a dense factor: a dummy 1x1 keeps
+        # SolverState O(n) (large sparse problems must not allocate n x n)
         L=jnp.zeros(
-            (1, 1) if settings.factorization_method == C.FACTORIZE_CG
+            (1, 1) if settings.factorization_method
+            in (C.FACTORIZE_CG, C.FACTORIZE_STAGE)
             else (n, n),
             dtype,
         ),
@@ -459,6 +460,29 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
             tol=jnp.asarray(settings.cg_tol, dtype),
             max_iter=settings.cg_max_iter,
         )
+        L = st.L
+    elif method == C.FACTORIZE_STAGE:
+        # stage-structured Newton: the Schur matrix of a stage-ordered MPC
+        # QP is block-tridiagonal (dynamics couple adjacent stages, box rows
+        # are diagonal) — solve with block Thomas in O(S * nb^3) instead of
+        # a dense O(n^3) Cholesky.  Distributed stage partitioning of the
+        # same system: parallel.block_tridiag.spike_solve.
+        from ..parallel.block_tridiag import extract_block_tridiag, thomas_solve
+
+        nb = settings.stage_block
+        gamma_inv = (
+            1.0 / st.gamma if settings.proximal else jnp.zeros((), dtype)
+        )
+        w = jnp.where(active, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
+        B = data.A * w[:, None]
+        AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
+        gersh = gershgorin_max(AtsA)
+        M = data.Q + AtsA
+        if settings.proximal:
+            M = M + gamma_inv * jnp.eye(data.n, dtype=dtype)
+        Db, Eb = extract_block_tridiag(M, nb)
+        S = data.n // nb
+        d = thomas_solve(Db, Eb[:-1], neg_dphi.reshape(S, nb)).reshape(-1)
         L = st.L
     elif method == C.FACTORIZE_KKT:
         d = newton_solve_kkt(

@@ -70,6 +70,9 @@ class Settings:
     # tolerance and iteration cap of the matrix-free inner solver
     cg_tol: float = C.CG_TOL
     cg_max_iter: int = C.CG_MAX_ITER
+    # stage-structured Newton (FACTORIZE_STAGE): block size nb = nx + nu of
+    # the stage-ordered MPC problem; n must be divisible by it
+    stage_block: int = 0
     # solver iterations per while_loop trip (device-loop iterations carry a
     # fixed dispatch overhead on tunneled TPU runtimes — ~1.2ms measured —
     # so unrolling K iterations per trip amortizes it; finished lanes hit

@@ -81,8 +81,11 @@ def validate_settings(s):
         "max_rank_update_fraction must be in [0,1]")
     chk(s.factorization_method in (
         C.FACTORIZE_KKT, C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR,
-        C.FACTORIZE_CG,
+        C.FACTORIZE_CG, C.FACTORIZE_STAGE,
     ), "invalid factorization_method")
+    if s.factorization_method == C.FACTORIZE_STAGE:
+        chk(s.stage_block > 0,
+            "FACTORIZE_STAGE requires stage_block = nx + nu > 0")
     chk(s.dtype in ("float64", "float32"), "dtype must be float64 or float32")
     chk(s.cg_tol > 0, "cg_tol must be positive")
     chk(s.cg_max_iter > 0, "cg_max_iter must be positive")

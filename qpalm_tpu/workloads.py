@@ -189,7 +189,9 @@ class SequentialMPC:
     initial-state equality, warm start, re-solve — the reference's
     chain80w/randomMPCsequential protocol (chain80w.m:86-120)."""
 
-    def __init__(self, n_masses=6, horizon=10, seed=0, settings=None):
+    def __init__(self, n_masses=6, horizon=10, seed=0, settings=None,
+                 stage_structured=False):
+        from . import constants as C
         from .api import QPALM
         from .types import Settings
 
@@ -198,8 +200,23 @@ class SequentialMPC:
         self.bmin = bmin
         self.bmax = bmax
         settings = settings or Settings(
-            eps_abs=1e-6, eps_rel=1e-6, proximal=False, scaling=2
+            eps_abs=1e-6, eps_rel=1e-6, proximal=False, scaling=2,
+            verbose=False,
         )
+        self._perm = None
+        if stage_structured:
+            # stage-interleave the variables so the Newton system is
+            # block-tridiagonal and solved in O(S nb^3) by block Thomas
+            nb = meta["nx"] + meta["nu"]
+            self._perm = mpc_stage_permutation(
+                meta["nx"], meta["nu"], meta["N"]
+            )
+            H = H[np.ix_(self._perm, self._perm)]
+            A = A[:, self._perm]
+            q = q[self._perm]
+            settings = settings.replace(
+                factorization_method=C.FACTORIZE_STAGE, stage_block=nb
+            )
         self.solver = QPALM(H, A, q, bmin, bmax, settings=settings)
         self.x = meta["x0"].copy()
         self._prev = None
@@ -211,14 +228,19 @@ class SequentialMPC:
         if self._prev is not None:
             self.solver.warm_start(self._prev[0], self._prev[1])
         res = self.solver.solve()
-        z = res.solution.x
+        z_solver = res.solution.x
+        if self._perm is not None:
+            z = np.empty_like(z_solver)
+            z[self._perm] = z_solver  # back to [x_1..x_N | u_0..u_{N-1}]
+        else:
+            z = z_solver
         u0 = z[N * nx: N * nx + nu]
         # plant update and receding-horizon bound shift
         self.x = meta["Ad"] @ self.x + meta["Bd"] @ u0
         self.bmin[:nx] = meta["Ad"] @ self.x
         self.bmax[:nx] = self.bmin[:nx]
         self.solver.update_bounds(self.bmin, self.bmax)
-        self._prev = (z, res.solution.y)
+        self._prev = (z_solver, res.solution.y)
         return res.info.status, int(res.info.iter), u0
 
     def run(self, n_steps: int) -> List[int]:

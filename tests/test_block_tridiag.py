@@ -53,6 +53,43 @@ def test_spike_matches_dense_8_devices():
     np.testing.assert_allclose(x, x_ref, atol=1e-10)
 
 
+def test_factorize_stage_matches_dense_solver():
+    """FACTORIZE_STAGE (block-Thomas Newton) inside the full P-ALM loop is
+    bit-equivalent to the dense Schur path on a stage-ordered MPC QP."""
+    import numpy as np
+
+    from qpalm_tpu import QPALM, Settings
+    from qpalm_tpu.constants import FACTORIZE_STAGE
+
+    H, A, q, bmin, bmax, meta = mpc_chain(4, 10, seed=0)
+    nx, nu, N = meta["nx"], meta["nu"], meta["N"]
+    nb = nx + nu
+    perm = mpc_stage_permutation(nx, nu, N)
+    Hp, Ap, qp = H[np.ix_(perm, perm)], A[:, perm], q[perm]
+    base = dict(eps_abs=1e-6, eps_rel=1e-6, proximal=False, scaling=2,
+                verbose=False)
+    r_stage = QPALM(Hp, Ap, qp, bmin, bmax, settings=Settings(
+        factorization_method=FACTORIZE_STAGE, stage_block=nb, **base
+    )).solve()
+    r_dense = QPALM(Hp, Ap, qp, bmin, bmax, settings=Settings(**base)).solve()
+    assert r_stage.info.status == "solved"
+    np.testing.assert_allclose(
+        r_stage.solution.x, r_dense.solution.x, atol=1e-10
+    )
+
+
+def test_sequential_mpc_stage_structured():
+    from qpalm_tpu.workloads import SequentialMPC
+    import numpy as np
+
+    m1 = SequentialMPC(3, 6, seed=1)
+    m2 = SequentialMPC(3, 6, seed=1, stage_structured=True)
+    i1 = m1.run(5)
+    i2 = m2.run(5)
+    assert i1 == i2
+    np.testing.assert_allclose(m1.x, m2.x, atol=1e-8)
+
+
 def test_mpc_schur_is_block_tridiagonal():
     """The stage-ordered MPC Schur matrix M = H + A' Sigma A is exactly
     block-tridiagonal, and the partitioned solve matches the dense solve."""

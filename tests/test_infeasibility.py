@@ -30,7 +30,7 @@ def test_primal_infeasible(kw):
     # certificate (reference termination.c:136-182): A'dy ~ 0 relative to
     # ||dy||, and the support function bmax'max(dy,0) + bmin'min(dy,0) < 0
     # over the finite bounds
-    rel = abs(float(A.T @ dy)) / np.max(np.abs(dy))
+    rel = float(np.abs(A.T @ dy).max()) / np.max(np.abs(dy))
     assert rel < 1e-5
     support = bmin[0] * max(dy[0], 0.0) + bmax[1] * min(dy[1], 0.0)
     assert support < 0 or (dy[0] < 0 and dy[1] > 0)
