@@ -21,7 +21,7 @@ from .scaling import identity_scaling, scale_data
 from .solver.core import full_solve, init_state, solve_from_state
 from .solver.core import compute_objective as _compute_objective
 from .solver.nonconvex import lobpcg_min_eig
-from .types import Info, QPData, ScalingInfo, Settings, Solution, SolveResult
+from .types import Info, QPData, Settings, Solution, SolveResult
 from .validate import validate_data, validate_settings
 
 __all__ = ["QPALM", "solve", "Settings"]

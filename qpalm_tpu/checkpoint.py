@@ -9,11 +9,9 @@ long sweeps can persist (x, y) pairs per problem and resume by warm starting.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
-from .types import Solution, SolveResult
+from .types import SolveResult
 
 
 def save_solution(path: str, result: SolveResult) -> None:

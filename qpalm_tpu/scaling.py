@@ -84,16 +84,3 @@ def scale_data(data: QPData, iters: int, Qx=None):
 
     scal = ScalingInfo(D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E, c=c, cinv=1.0 / c)
     return QPData(Q=Q, A=A, q=q, bmin=bmin, bmax=bmax, c=data.c), scal
-
-
-def rescale_more(data: QPData, scal: ScalingInfo, extra_iters: int):
-    """Run additional Ruiz iterations on already-scaled data and compose the
-    scaling vectors (reference: qpalm_update_settings, src/qpalm.c:754-785;
-    scaling may only increase)."""
-    data2, scal2 = scale_data(data, extra_iters)
-    D = scal.D * scal2.D
-    E = scal.E * scal2.E
-    c = scal.c * scal2.c
-    return data2, ScalingInfo(
-        D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E, c=c, cinv=1.0 / c
-    )

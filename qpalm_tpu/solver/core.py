@@ -24,7 +24,6 @@ from ..linalg.dense import (
     gershgorin_max,
     newton_solve_kkt,
     norm_inf,
-    schur_matrix,
     vec_mid,
 )
 from ..linalg.pallas_chol import cholesky_batched, cholesky_solve_batched

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import numpy as np
-import scipy.sparse as sp
 
 
 def random_qp(n: int, m: Optional[int] = None, density: float = 0.5,
