@@ -19,6 +19,11 @@ _jax.config.update("jax_enable_x64", True)
 
 from . import constants
 from .constants import (
+    FACTORIZE_CG,
+    FACTORIZE_KKT,
+    FACTORIZE_KKT_OR_SCHUR,
+    FACTORIZE_SCHUR,
+    FACTORIZE_STAGE,
     QPALM_DUAL_INFEASIBLE,
     QPALM_DUAL_TERMINATED,
     QPALM_ERROR,
@@ -33,10 +38,26 @@ from .api import QPALM, solve
 
 __version__ = "0.1.0"
 
+# submodules (imported lazily by attribute access is unnecessary — they are
+# lightweight): batch solving, workload generators, IO drivers,
+# multi-device distribution, checkpointing, reference-binding compat
+from . import batch, checkpoint, compat, io, parallel, workloads  # noqa: E402
+
 __all__ = [
     "QPALM",
     "solve",
     "Settings",
+    "batch",
+    "checkpoint",
+    "compat",
+    "io",
+    "parallel",
+    "workloads",
+    "FACTORIZE_KKT",
+    "FACTORIZE_SCHUR",
+    "FACTORIZE_KKT_OR_SCHUR",
+    "FACTORIZE_CG",
+    "FACTORIZE_STAGE",
     "Info",
     "QPData",
     "ScalingInfo",

@@ -189,15 +189,13 @@ def solve_batch(
         y_ws = jnp.asarray(ys)
 
     gamma = jnp.full((B,), settings.gamma_init, dtype)
-    has_gamma = False
     if settings.nonconvex:
         # per-problem min-eigenvalue of the scaled Q (vmapped LOBPCG)
         from .scaling import scale_data
 
         if settings.scaling:
             sQ = jax.jit(
-                jax.vmap(lambda d: scale_data(d, settings.scaling)[0].Q),
-                static_argnames=(),
+                jax.vmap(lambda d: scale_data(d, settings.scaling)[0].Q)
             )(data)
         else:
             sQ = data.Q
@@ -215,12 +213,11 @@ def solve_batch(
             np.where(lams < 0, pins, settings.gamma_init).astype(dtype)
         )
         settings = settings.replace(proximal=True)
-        has_gamma = True
         return _solve_batch_gi(
             data, x_ws, y_ws, gamma_init, gamma, settings, has_ws
         )
 
-    return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma)
+    return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, False)
 
 
 def solve_batch_escalate(
