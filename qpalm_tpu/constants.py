@@ -98,7 +98,7 @@ FACTORIZATION_METHOD = FACTORIZE_KKT_OR_SCHUR
 
 # CG Newton solve defaults (FACTORIZE_CG mode)
 CG_TOL = 1e-8
-CG_MAX_ITER = 250
+CG_MAX_ITER = 500
 
 LOBPCG_TOL = 1e-5  # reference: nonconvex.c:24
 LOBPCG_MAX_ITER = 1000  # reference: nonconvex.c:111

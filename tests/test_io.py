@@ -207,6 +207,28 @@ def test_native_parser_error(tmp_path):
         load_qps(str(p), native=True)
 
 
+def test_mini_suite_harness():
+    """The committed MM-protocol mini suite solves end-to-end through the
+    parse -> bucket -> batch pipeline (subset for test speed)."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suite = os.path.join(root, "benchmarks", "qps_mini")
+    if not os.path.isdir(suite):
+        pytest.skip("mini suite not generated")
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from run_qps_suite import main as suite_main
+
+    import tempfile, json
+    out = os.path.join(tempfile.mkdtemp(), "res.json")
+    rc = suite_main([suite, "--eps", "1e-6", "--max-n", "60",
+                     "--json", out, "--platform", "default"])
+    assert rc == 0
+    with open(out) as f:
+        res = json.load(f)
+    assert all(r["status"] == 1 for r in res["results"])
+
+
 def test_cli(qps_file, capsys):
     rc = cli_main(["--platform", "default", qps_file])
     assert rc == 0
