@@ -197,11 +197,26 @@ class QPALM:
                 sdata, _ = _scale_only(self._data, settings.scaling)
             else:
                 sdata = self._data
-            x0 = np.zeros(self._n_pad, dtype)
-            rng = np.random.default_rng(0)
-            x0[: self.n] = rng.random(self.n)
-            x0 /= np.linalg.norm(x0)
-            lam = float(lobpcg_min_eig(sdata.Q, jnp.asarray(x0)))
+            if self.n <= 3:
+                # LOBPCG's 3-vector subspace degenerates for n <= 3
+                # (reference nonconvex.c special-cases these too); the exact
+                # eigensolve is trivial at this size
+                Qs = np.asarray(
+                    sdata.Q.todense() if self.sparse else sdata.Q
+                )[: self.n, : self.n]
+                # the safety margin keeps M = Q + (1/gamma) I strictly PD
+                # (reference applies the same -1e-6 at n <= 3,
+                # nonconvex.c:122-124); exact lambda_min would make the
+                # Newton system exactly singular on inactive iterates
+                lam = float(np.linalg.eigvalsh(Qs)[0]) - 1e-6
+            else:
+                # start vector spans the padded dims too — padding only adds
+                # unit eigenvalues, and full support keeps the subspace
+                # non-degenerate
+                rng = np.random.default_rng(0)
+                x0 = rng.random(self._n_pad).astype(dtype)
+                x0 /= np.linalg.norm(x0)
+                lam = float(lobpcg_min_eig(sdata.Q, jnp.asarray(x0)))
             if lam < 0:
                 settings = settings.replace(proximal=True)
                 self._gamma_override = 1.0 / abs(lam)

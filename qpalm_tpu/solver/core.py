@@ -454,9 +454,19 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
                     preferred_element_type=dtype,
                 )
             )
+        # inexact-Newton forcing: early outer iterations only need the
+        # direction to the accuracy of the current inner tolerance, so the
+        # CG tolerance loosens to (a fraction of) eps_dua_in relative to
+        # ||dphi|| and tightens to cg_tol near convergence
+        dphi_norm = jnp.sqrt(jnp.vdot(neg_dphi, neg_dphi))
+        forcing = jnp.clip(
+            0.01 * st.eps_dua_in / jnp.maximum(dphi_norm, 1e-30),
+            settings.cg_tol,
+            1e-2,
+        ).astype(dtype)
         d, _, _ = pcg(
             matvec, neg_dphi, diagM,
-            tol=jnp.asarray(settings.cg_tol, dtype),
+            tol=forcing,
             max_iter=settings.cg_max_iter,
         )
         L = st.L

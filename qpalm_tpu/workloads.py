@@ -104,7 +104,8 @@ def _chain_dynamics(n_masses: int, dt: float = 0.1):
     Bc = np.zeros((nx, nu))
     for j in range(nu):
         Bc[nm + j, j] = 1.0
-        Bc[nm + j + 1, j] = -1.0
+        if nm + j + 1 < nx:  # single-mass chain: one direct actuator
+            Bc[nm + j + 1, j] = -1.0
     # forward-Euler discretization
     Ad = np.eye(nx) + dt * Ac
     Bd = dt * Bc
