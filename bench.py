@@ -72,11 +72,12 @@ def main():
     # max_refine=0: with delta=10 refinement changes nothing on this
     # workload (identical iteration counts) and costs 2 trisolve pairs +
     # ~9 matvecs per vmapped iteration
-    # unroll=4 amortizes the ~1.2ms per-device-loop-trip dispatch floor of
-    # this tunneled runtime (results bit-identical; see Settings.unroll)
+    # unroll stays at 1: unroll=4 measured only ~4% more throughput (737 vs
+    # 708 solves/s) while quadrupling the loop body and its compile time —
+    # reliability of the bench run wins
     s32 = Settings(
         dtype="float32", eps_abs=EPS, eps_rel=EPS, max_iter=120,
-        scaling=2, max_refine=0, delta=10.0, unroll=4,
+        scaling=2, max_refine=0, delta=10.0,
     )
     data = stack_problems(probs, np.float32)
     Bp, n_pad = data.q.shape
