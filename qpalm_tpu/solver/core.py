@@ -273,15 +273,13 @@ def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, activ
     dtype = st.sigma.dtype
     nb_active = jnp.sum(active2.astype(jnp.int32))
     if settings.factorization_method == C.FACTORIZE_KKT:
-        w = jnp.where(active2, st.sqrt_sigma, jnp.zeros_like(st.sqrt_sigma))
-        B = data.A * w[:, None]
-        AtsA = jnp.dot(B.T, B, preferred_element_type=dtype)
-        g = gershgorin_max(AtsA)
+        # the reference's KKT boost is a flat 1e10 (its Gershgorin estimate
+        # is disabled there, iteration.c:174-182)
+        boosted = jnp.asarray(1e10, dtype)
     else:
-        g = st.gersh
-    boosted = jnp.maximum(
-        st.gamma_max.astype(dtype), 1e14 / jnp.maximum(g, 1e-30)
-    )
+        boosted = jnp.maximum(
+            st.gamma_max.astype(dtype), 1e14 / jnp.maximum(st.gersh, 1e-30)
+        )
     return jnp.where(nb_active > 0, boosted, jnp.asarray(1e12, dtype))
 
 
@@ -680,8 +678,12 @@ def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None)
             )
             new_gamma = jnp.where(boost, boosted_gamma, stepped_gamma)
             st = _apply_gamma_change(st, new_gamma)
+            # gamma_maxed latches only when constraints were active at the
+            # boost (reference iteration.c:195: the empty-active 1e12 case
+            # leaves the flag clear so a later boost can still fire)
+            nb_active2 = jnp.sum(active2.astype(jnp.int32))
             st = st._replace(
-                gamma_maxed=st.gamma_maxed | boost,
+                gamma_maxed=st.gamma_maxed | (boost & (nb_active2 > 0)),
                 # the boost check overwrites the solver's active-set diff
                 # (reference: qpalm.c:617-618 side effect)
                 active=jnp.where(check, active2, st.active),
