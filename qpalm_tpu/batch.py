@@ -220,6 +220,46 @@ def solve_batch(
     return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, False)
 
 
+def solve_many(
+    problems: Sequence[tuple],
+    settings: Optional[Settings] = None,
+    pad_multiple: int = 8,
+    escalate: bool = False,
+    **settings_kw,
+) -> BatchResult:
+    """Solve a heterogeneous problem list: bucket by padded shape, run one
+    vmapped batch per bucket (one compile each), scatter results back into
+    input order.  The sweep-driver pattern (scripts/run_qps_suite.py) as a
+    library call; `escalate=True` adds the f32 -> f64 straggler re-solve."""
+    if settings is None:
+        settings = Settings(**settings_kw)
+    elif settings_kw:
+        settings = settings.replace(**settings_kw)
+    sizes = [(_densify(p[0]).shape[0], _densify(p[1]).shape[0])
+             for p in problems]
+    buckets = bucket_indices(sizes, pad_multiple)
+    fields = {f: [None] * len(problems) for f in BatchResult._fields}
+    for idxs in buckets.values():
+        sub = [problems[i] for i in idxs]
+        if escalate:
+            res = solve_batch_escalate(sub, settings)
+        else:
+            res = solve_batch(sub, settings, pad_multiple=pad_multiple)
+        for f in BatchResult._fields:
+            arr = np.asarray(getattr(res, f))
+            for j, i in enumerate(idxs):
+                fields[f][i] = arr[j]
+    # ragged per-problem arrays stay as object lists for x/y; scalars stack
+    out = {}
+    for f in BatchResult._fields:
+        vals = fields[f]
+        if np.asarray(vals[0]).ndim == 0:
+            out[f] = jnp.asarray(np.asarray(vals))
+        else:
+            out[f] = vals  # list of per-problem arrays (bucket-padded)
+    return BatchResult(**out)
+
+
 def solve_batch_escalate(
     problems: Sequence[tuple],
     settings: Optional[Settings] = None,

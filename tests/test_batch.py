@@ -132,3 +132,21 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert np.all(np.asarray(out[1]) == qpalm_tpu.QPALM_SOLVED)
     g.dryrun_multichip(8)
+
+
+def test_solve_many_heterogeneous():
+    """solve_many buckets heterogeneous shapes, one compile per bucket,
+    results scattered back to input order."""
+    from qpalm_tpu.batch import solve_many
+
+    sizes = [(6, 9), (12, 16), (6, 9), (12, 16), (6, 9)]
+    probs = [random_convex_qp(n, m, seed=i) for i, (n, m) in enumerate(sizes)]
+    res = solve_many(probs, SETTINGS)
+    assert np.all(np.asarray(res.status) == qpalm_tpu.QPALM_SOLVED)
+    for i, p in enumerate(probs):
+        n, m = sizes[i]
+        kkt_check(*p, np.asarray(res.x[i])[:n], np.asarray(res.y[i])[:m],
+                  tol=1e-4)
+        # must agree with the solo solve
+        r = qpalm_tpu.solve(*p, settings=SETTINGS)
+        np.testing.assert_array_equal(np.asarray(res.x[i])[:n], r.solution.x)
