@@ -11,7 +11,7 @@ Per-instance early termination becomes the `done` mask inside the while_loop
 hit the `terminate_fn` branch and stop mutating).
 
 Heterogeneous problem sizes are handled by padding to a shared shape bucket
-(`pad_and_stack` / `bucket_indices`): padded variables/constraints are
+(`stack_problems` / `bucket_indices` / `solve_many`): padded variables/constraints are
 constructed to be exactly neutral (see qpalm_tpu.api.pad_problem).
 """
 
@@ -47,8 +47,8 @@ class BatchResult(NamedTuple):
         return self.status == C.QPALM_SOLVED
 
 
-# in_axes template: batch over every QPData leaf except the scalar objective
-# constant, which is also stacked (it is per-problem)
+# in_axes template: every QPData leaf carries a leading batch axis,
+# including the scalar objective constant (it is per-problem)
 _DATA_AXES = QPData(Q=0, A=0, q=0, bmin=0, bmax=0, c=0)
 
 
