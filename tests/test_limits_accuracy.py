@@ -55,3 +55,26 @@ def test_f32_results_honest_in_f64():
                       np.abs(A.T @ y).max())
         assert pri <= 5 * eps * scale_p, (i, pri)
         assert dua <= 5 * eps * scale_d, (i, dua)
+
+
+def test_unconstrained_qp():
+    """m = 0: the padded free rows are neutral and the unconstrained
+    minimizer -Q^{-1} q is recovered exactly."""
+    Q = np.array([[2.0, 0.3], [0.3, 1.0]])
+    q = np.array([1.0, -2.0])
+    r = QPALM(Q, np.zeros((0, 2)), q, np.zeros(0), np.zeros(0),
+              settings=Settings(eps_abs=1e-8, eps_rel=1e-8,
+                                verbose=False)).solve()
+    assert r.info.status == "solved"
+    np.testing.assert_allclose(
+        r.solution.x, -np.linalg.solve(Q, q), atol=1e-7
+    )
+
+
+def test_single_variable_qp():
+    r = QPALM(np.array([[2.0]]), np.array([[1.0]]), np.array([-10.0]),
+              np.array([-1.0]), np.array([1.0]),
+              settings=Settings(eps_abs=1e-8, eps_rel=1e-8,
+                                verbose=False)).solve()
+    assert r.info.status == "solved"
+    assert abs(r.solution.x[0] - 1.0) < 1e-6
