@@ -268,7 +268,7 @@ def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, activ
     has settled (nb_enter = nb_leave = 0), so the cached mask equals active2
     and the bound is exact; sigma cannot have changed this outer update
     because the boost requires pri_res < eps_pri while sigma updates require
-    the opposite.  The KKT path recomputes it directly.
+    the opposite.
     """
     dtype = st.sigma.dtype
     nb_active = jnp.sum(active2.astype(jnp.int32))
