@@ -245,9 +245,14 @@ def _apply_gamma_change(st: SolverState, new_gamma) -> SolverState:
 
 
 def update_gamma(st: SolverState, settings: Settings) -> SolverState:
-    """reference: src/iteration.c:147-156 (no Qd fixup there — tau*diff*d is
-    added here too, which is a no-op in the reference flow because Qd is
-    rebuilt by the next linesearch before being read)."""
+    """reference: src/iteration.c:147-156.
+
+    Like the reference, this step fixes up Qx but not Qd.  (The boost path
+    goes through `_apply_gamma_change`, which also fixes Qd — required for
+    the dual-infeasibility curvature test `Qd - (tau/gamma) d` to stay exact
+    under the new gamma; the reference's plain update_gamma tolerates the
+    same small inexactness this one does, iteration.c:147-156 vs 206-210.)
+    """
     upd = st.gamma < st.gamma_max
     new_gamma = jnp.where(
         upd, jnp.minimum(st.gamma * settings.gamma_upd, st.gamma_max), st.gamma
