@@ -41,7 +41,7 @@ __version__ = "0.1.0"
 # submodules (imported lazily by attribute access is unnecessary — they are
 # lightweight): batch solving, workload generators, IO drivers,
 # multi-device distribution, checkpointing, reference-binding compat
-from . import batch, checkpoint, compat, io, parallel, workloads  # noqa: E402
+from . import batch, checkpoint, compat, diff, io, parallel, workloads  # noqa: E402
 
 __all__ = [
     "QPALM",
@@ -50,6 +50,7 @@ __all__ = [
     "batch",
     "checkpoint",
     "compat",
+    "diff",
     "io",
     "parallel",
     "workloads",
