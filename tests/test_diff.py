@@ -83,3 +83,25 @@ def test_gradient_descent_on_embedded_qp():
     # fixed-step GD plateaus near kinks — a ~50x+ reduction demonstrates
     # usable gradients (pointwise correctness is the FD test above)
     assert val1 < 0.02 * val0
+
+
+def test_vmapped_differentiable_solves():
+    """Batched differentiable QPs: vmap(grad(loss)) over stacked problems
+    matches the per-problem gradient (the batched-learning pattern)."""
+    import sys
+
+    probs = [_qp(seed=i) for i in range(4)]
+    Qb = jnp.stack([p[0] for p in probs])
+    Ab = jnp.stack([p[1] for p in probs])
+    qb = jnp.stack([p[2] for p in probs])
+    bl = jnp.stack([p[3] for p in probs])
+    bu = jnp.stack([p[4] for p in probs])
+    w = jnp.asarray(np.random.default_rng(0).standard_normal(Qb.shape[1]))
+
+    def loss(Q, A, q, lo, hi):
+        return jnp.vdot(w, solve_diff(Q, A, q, lo, hi, S))
+
+    gq = jax.jit(jax.vmap(jax.grad(loss, argnums=2)))(Qb, Ab, qb, bl, bu)
+    assert np.isfinite(np.asarray(gq)).all()
+    g2 = jax.grad(loss, argnums=2)(Qb[2], Ab[2], qb[2], bl[2], bu[2])
+    np.testing.assert_allclose(np.asarray(gq)[2], np.asarray(g2), atol=1e-10)
