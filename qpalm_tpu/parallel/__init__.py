@@ -10,6 +10,11 @@ net-new TPU-native design:
   Schur assembly A' diag(sigma) A and the m-sized iteration vectors, with
   `psum`/`all_gather` over ICI (the model-parallel analogue flagged in
   SURVEY.md §2.4).
+* `block_tridiag` — block-Thomas and distributed SPIKE solvers for the
+  stage-banded Schur systems of MPC ladders.
+* `mpc_loop`  — the whole P-ALM loop stage-sharded across the mesh: halo
+  matvecs via ppermute, SPIKE Schur reduction per Newton step, gathered
+  linesearch; matches the sequential solver iterate-for-iterate.
 """
 
 from .sharded import (
@@ -18,10 +23,14 @@ from .sharded import (
     solve_batch_sharded,
 )
 from .schur import solve_constraint_sharded
+from .mpc_loop import MPCStageData, from_mpc_chain, solve_mpc_stage_sharded
 
 __all__ = [
     "default_mesh",
     "pad_batch_to_devices",
     "solve_batch_sharded",
     "solve_constraint_sharded",
+    "MPCStageData",
+    "from_mpc_chain",
+    "solve_mpc_stage_sharded",
 ]

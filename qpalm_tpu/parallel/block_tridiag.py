@@ -132,6 +132,80 @@ def _local_spikes(D, E, E_left, E_right, b):
     return V, Wsp, g
 
 
+def spike_solve_local(D_loc, E_loc, b_loc, nd: int, axis_name: str):
+    """The shard-local SPIKE computation: to be called INSIDE a shard_map
+    whose `axis_name` axis shards the stages.  Used by `spike_solve` and by
+    the stage-sharded MPC solve loop (parallel/mpc_loop.py) where the whole
+    P-ALM iteration lives inside one shard_map."""
+    idx = jax.lax.axis_index(axis_name)
+    nb = D_loc.shape[1]
+    # couplings to neighbors: E_left = E[last of prev chunk] lives on
+    # the previous device — fetch via ppermute of each chunk's last E
+    my_last_E = E_loc[-1]
+    E_from_left = jax.lax.ppermute(
+        my_last_E, axis_name,
+        [(i, (i + 1) % nd) for i in range(nd)],
+    )
+    is_first = idx == 0
+    is_last = idx == nd - 1
+    E_left = jnp.where(is_first, jnp.zeros_like(E_from_left), E_from_left)
+    E_right = jnp.where(is_last, jnp.zeros_like(my_last_E), my_last_E)
+
+    E_interior = E_loc[:-1]
+    V, Wsp, g = _local_spikes(D_loc, E_interior, E_left, E_right, b_loc)
+
+    # reduced interface system over (first, last) stages of every chunk:
+    # assemble per-device boundary data and all_gather
+    bd = jnp.stack([V[0], V[-1], Wsp[0], Wsp[-1]])  # (4, nb, nb)
+    gb = jnp.stack([g[0], g[-1]])  # (2, nb)
+    all_bd = jax.lax.all_gather(bd, axis_name)  # (nd, 4, nb, nb)
+    all_gb = jax.lax.all_gather(gb, axis_name)  # (nd, 2, nb)
+
+    # unknowns: u = [x_first_0, x_last_0, x_first_1, x_last_1, ...]
+    # equations:  x_first_d = g_first_d - V_first_d x_last_{d-1}
+    #                                  - W_first_d x_first_{d+1}
+    #             x_last_d  = g_last_d - V_last_d x_last_{d-1}
+    #                                  - W_last_d x_first_{d+1}
+    n_u = 2 * nd * nb
+    eye = jnp.eye(nb, dtype=D_loc.dtype)
+    R = jnp.zeros((n_u, n_u), D_loc.dtype)
+    rhs = jnp.zeros((n_u,), D_loc.dtype)
+    for d in range(nd):
+        rf = (2 * d) * nb      # row block: x_first_d
+        rl = (2 * d + 1) * nb  # row block: x_last_d
+        Vf, Vl = all_bd[d, 0], all_bd[d, 1]
+        Wf, Wl = all_bd[d, 2], all_bd[d, 3]
+        R = R.at[rf:rf + nb, rf:rf + nb].set(eye)
+        R = R.at[rl:rl + nb, rl:rl + nb].set(eye)
+        if d > 0:
+            cl_prev = (2 * (d - 1) + 1) * nb
+            R = R.at[rf:rf + nb, cl_prev:cl_prev + nb].add(Vf)
+            R = R.at[rl:rl + nb, cl_prev:cl_prev + nb].add(Vl)
+        if d < nd - 1:
+            cf_next = (2 * (d + 1)) * nb
+            R = R.at[rf:rf + nb, cf_next:cf_next + nb].add(Wf)
+            R = R.at[rl:rl + nb, cf_next:cf_next + nb].add(Wl)
+        rhs = rhs.at[rf:rf + nb].set(all_gb[d, 0])
+        rhs = rhs.at[rl:rl + nb].set(all_gb[d, 1])
+
+    # tiny dense system, solved redundantly on every device; QR (LU is
+    # not available on this TPU toolchain)
+    from jax.scipy.linalg import solve_triangular
+
+    Qr, Rr = jnp.linalg.qr(R)
+    u = solve_triangular(Rr, Qr.T @ rhs, lower=False)
+    u = u.reshape(2 * nd, nb)
+
+    x_last_prev = jnp.where(
+        is_first, jnp.zeros((nb,), D_loc.dtype), u[2 * idx - 1]
+    )
+    x_first_next = jnp.where(
+        is_last, jnp.zeros((nb,), D_loc.dtype),
+        u[jnp.minimum(2 * (idx + 1), 2 * nd - 1)],
+    )
+    return g - V @ x_last_prev - Wsp @ x_first_next
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def spike_solve(
     D: jnp.ndarray,
@@ -151,81 +225,7 @@ def spike_solve(
     spec3 = P(axis_name)
 
     def local(D_loc, E_loc, b_loc):
-        idx = jax.lax.axis_index(axis_name)
-        Sl, nb = D_loc.shape[0], D_loc.shape[1]
-        # couplings to neighbors: E_left = E[last of prev chunk] lives on
-        # the previous device — fetch via ppermute of each chunk's last E
-        my_last_E = E_loc[-1]
-        E_from_left = jax.lax.ppermute(
-            my_last_E, axis_name,
-            [(i, (i + 1) % nd) for i in range(nd)],
-        )
-        is_first = idx == 0
-        is_last = idx == nd - 1
-        E_left = jnp.where(is_first, jnp.zeros_like(E_from_left), E_from_left)
-        E_right = jnp.where(is_last, jnp.zeros_like(my_last_E), my_last_E)
-
-        E_interior = E_loc[:-1]
-        V, Wsp, g = _local_spikes(D_loc, E_interior, E_left, E_right, b_loc)
-
-        # reduced interface system over (first, last) stages of every chunk:
-        # x_first_d + V_first_d x_last_{d-1} + W_first_d x_first_{d+1}... —
-        # assemble per-device boundary data and all_gather
-        bd = jnp.stack([
-            V[0], V[-1], Wsp[0], Wsp[-1], jnp.zeros_like(V[0])
-        ])  # (5, nb, nb) — slot 5 unused, keeps a single gather
-        gb = jnp.stack([g[0], g[-1]])  # (2, nb)
-        all_bd = jax.lax.all_gather(bd, axis_name)  # (nd, 5, nb, nb)
-        all_gb = jax.lax.all_gather(gb, axis_name)  # (nd, 2, nb)
-
-        # unknowns: u = [x_first_0, x_last_0, x_first_1, x_last_1, ...]
-        # equations:  x_first_d = g_first_d - V_first_d x_last_{d-1}
-        #                                  - W_first_d x_first_{d+1}
-        #             x_last_d  = g_last_d - V_last_d x_last_{d-1}
-        #                                  - W_last_d x_first_{d+1}
-        n_u = 2 * nd * nb
-        eye = jnp.eye(nb, dtype=D_loc.dtype)
-        R = jnp.zeros((n_u, n_u), D_loc.dtype)
-        rhs = jnp.zeros((n_u,), D_loc.dtype)
-        for d in range(nd):
-            rf = (2 * d) * nb      # row block: x_first_d
-            rl = (2 * d + 1) * nb  # row block: x_last_d
-            Vf, Vl = all_bd[d, 0], all_bd[d, 1]
-            Wf, Wl = all_bd[d, 2], all_bd[d, 3]
-            R = R.at[rf:rf + nb, rf:rf + nb].set(eye)
-            R = R.at[rl:rl + nb, rl:rl + nb].set(eye)
-            if d > 0:
-                cl_prev = (2 * (d - 1) + 1) * nb
-                R = R.at[rf:rf + nb, cl_prev:cl_prev + nb].add(Vf)
-                R = R.at[rl:rl + nb, cl_prev:cl_prev + nb].add(Vl)
-            if d < nd - 1:
-                cf_next = (2 * (d + 1)) * nb
-                R = R.at[rf:rf + nb, cf_next:cf_next + nb].add(Wf)
-                R = R.at[rl:rl + nb, cf_next:cf_next + nb].add(Wl)
-            rhs = rhs.at[rf:rf + nb].set(all_gb[d, 0])
-            rhs = rhs.at[rl:rl + nb].set(all_gb[d, 1])
-
-        # tiny dense system, solved redundantly on every device; QR (LU is
-        # not available on this TPU toolchain)
-        Qr, Rr = jnp.linalg.qr(R)
-        from jax.scipy.linalg import solve_triangular
-
-        u = solve_triangular(Rr, Qr.T @ rhs, lower=False)
-        u = u.reshape(2 * nd, nb)
-
-        x_last_prev = jnp.where(
-            is_first, jnp.zeros((nb,), D_loc.dtype), u[2 * idx - 1]
-        )
-        x_first_next = jnp.where(
-            is_last, jnp.zeros((nb,), D_loc.dtype),
-            u[jnp.minimum(2 * (idx + 1), 2 * nd - 1)],
-        )
-        x_loc = (
-            g
-            - V @ x_last_prev
-            - Wsp @ x_first_next
-        )
-        return x_loc
+        return spike_solve_local(D_loc, E_loc, b_loc, nd, axis_name)
 
     return jax.shard_map(
         local,

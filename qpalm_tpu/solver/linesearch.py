@@ -48,6 +48,15 @@ def exact_linesearch(
     alpha_hi = (-y + sigma * (bmax - Ax)) / sqrt_sigma
     alpha = jnp.concatenate([alpha_lo, alpha_hi])  # (2m,)
 
+    return linesearch_from_breakpoints(eta, beta, delta, alpha)
+
+
+def linesearch_from_breakpoints(eta, beta, delta, alpha):
+    """The sort-and-scan tail of the exact linesearch, operating on
+    pre-built breakpoint vectors.  Split out so the stage-sharded MPC loop
+    (parallel/mpc_loop.py) can build `delta`/`alpha` locally per shard,
+    all_gather them, and run this tail replicated on every device."""
+    dtype = delta.dtype
     # s = alpha ./ delta with IEEE semantics: delta==0 gives +-inf (kept when
     # positive, harmless: its increments are 0) or nan (dropped by s > 0).
     s = alpha / delta
