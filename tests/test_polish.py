@@ -1,0 +1,94 @@
+"""Active-set polish: f32 solutions upgraded to 1e-6 KKT accuracy in f64.
+
+The polish is the accuracy half of the headline bench protocol (f32 TPU pass
++ f64 host polish), so its claims are tested against an independent
+high-accuracy f64 solve, not against itself.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpalm_tpu import QPALM, Settings, constants as C
+from qpalm_tpu.batch import solve_batch_jit, stack_problems
+from qpalm_tpu.polish import polish_batch
+
+from helpers import random_convex_qp
+
+
+def _solve_f32_batch(probs, eps=2e-5):
+    s32 = Settings(dtype="float32", eps_abs=eps, eps_rel=eps, max_iter=200,
+                   scaling=2, max_refine=0, delta=10.0)
+    d32 = stack_problems(probs, np.float32)
+    B, n_pad = d32.q.shape
+    m_pad = d32.bmin.shape[1]
+    res = solve_batch_jit(
+        d32,
+        jnp.zeros((B, n_pad), jnp.float32),
+        jnp.zeros((B, m_pad), jnp.float32),
+        jnp.full((B,), s32.gamma_init, jnp.float32),
+        s32, False, False,
+    )
+    return res
+
+
+def test_polish_reaches_1e6_and_matches_reference_solve():
+    probs = [random_convex_qp(24, 36, seed=100 + i, density=0.5)
+             for i in range(16)]
+    r32 = _solve_f32_batch(probs)
+    d64 = stack_problems(probs, np.float64)
+    pr = polish_batch(d64, r32.x, r32.y)
+    ok = np.asarray(pr.ok)
+    assert ok.all(), f"polish failed lanes {np.where(~ok)[0]}"
+    # polished residuals certify eps 1e-6 (they are what `ok` asserts)
+    assert np.asarray(pr.dua_res).max() < 1e-5
+
+    s64 = Settings(eps_abs=1e-10, eps_rel=1e-10, verbose=False)
+    for i in range(4):
+        Q, A, q, bl, bu = probs[i]
+        ref = QPALM(Q=Q, A=A, q=q, bmin=bl, bmax=bu, settings=s64).solve()
+        xt = np.asarray(ref.solution.x)
+        xp = np.asarray(pr.x)[i][: len(xt)]
+        assert np.max(np.abs(xp - xt)) < 1e-7
+
+
+def test_polish_flags_unconverged_inputs():
+    # feed the polish a garbage "solution": it must not report ok
+    rng = np.random.default_rng(3)
+    probs = [random_convex_qp(16, 24, seed=200 + i) for i in range(4)]
+    d64 = stack_problems(probs, np.float64)
+    B, n_pad = d64.q.shape
+    m_pad = d64.bmin.shape[1]
+    x_bad = jnp.asarray(rng.standard_normal((B, n_pad)) * 100.0)
+    y_bad = jnp.zeros((B, m_pad))
+    pr = polish_batch(d64, x_bad, y_bad)
+    # from a random far point the detected active set is wrong; the KKT
+    # check must catch any lane that did not land at a true solution
+    viol = np.maximum(np.asarray(pr.pri_res), 0)
+    ok = np.asarray(pr.ok)
+    for i in range(B):
+        if ok[i]:
+            assert viol[i] < 1e-5  # ok lanes really are solutions
+
+
+def test_polish_handles_equalities_and_narrow_ranges():
+    # equality rows (bmin == bmax) and a narrow-range row whose optimum
+    # side the polish must pick correctly (the act_tol=eq bug class)
+    n, m = 12, 8
+    Q, A, q, _, _ = random_convex_qp(n, m, seed=5)
+    bmin = -0.5 * np.ones(m)
+    bmax = 0.5 * np.ones(m)
+    bmin[0] = bmax[0] = 0.3  # equality
+    bmin[1], bmax[1] = -2e-5, 3e-5  # narrow range, within act_tol
+    s = Settings(eps_abs=1e-10, eps_rel=1e-10, verbose=False)
+    ref = QPALM(Q=Q, A=A, q=q, bmin=bmin, bmax=bmax, settings=s).solve()
+    assert ref.info.status_val == C.QPALM_SOLVED
+
+    probs = [(Q, A, q, bmin, bmax)]
+    r32 = _solve_f32_batch(probs, eps=1e-4)
+    d64 = stack_problems(probs, np.float64)
+    pr = polish_batch(d64, r32.x, r32.y)
+    assert bool(np.asarray(pr.ok)[0])
+    xt = np.asarray(ref.solution.x)
+    assert np.max(np.abs(np.asarray(pr.x)[0][:n] - xt)) < 1e-6
