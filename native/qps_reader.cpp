@@ -348,8 +348,18 @@ extern "C" {
 
 void* qps_parse(const char* path) {
     auto* p = new Problem();
-    if (!parse(path, *p)) {
-        if (p->error.empty()) p->error = "parse error";
+    // No exception may escape across the extern "C"/ctypes boundary: a
+    // malformed number (std::stod), a short line, or an inconsistent BOUNDS
+    // section would otherwise abort the embedding Python process instead of
+    // surfacing through qps_error and the documented Python-parser fallback.
+    try {
+        if (!parse(path, *p)) {
+            if (p->error.empty()) p->error = "parse error";
+        }
+    } catch (const std::exception& e) {
+        p->error = std::string("parse exception: ") + e.what();
+    } catch (...) {
+        p->error = "parse exception";
     }
     return p;
 }

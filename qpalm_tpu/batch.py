@@ -220,17 +220,41 @@ def solve_batch(
     return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, False)
 
 
+class ManyResult(NamedTuple):
+    """Results of a heterogeneous sweep: every array is rectangular, padded
+    to the largest bucket; `n`/`m` carry each problem's true sizes so
+    `result.x[i, :result.n[i]]` is problem i's solution."""
+
+    x: np.ndarray  # (B, max_n_pad) zero-padded primal solutions
+    y: np.ndarray  # (B, max_m_pad) zero-padded dual solutions
+    status: np.ndarray  # (B,) int32
+    iterations: np.ndarray  # (B,) int32
+    objective: np.ndarray  # (B,)
+    pri_res_norm: np.ndarray  # (B,)
+    dua_res_norm: np.ndarray  # (B,)
+    n: np.ndarray  # (B,) true variable counts
+    m: np.ndarray  # (B,) true constraint counts
+
+    @property
+    def solved(self) -> np.ndarray:
+        return self.status == C.QPALM_SOLVED
+
+
 def solve_many(
     problems: Sequence[tuple],
     settings: Optional[Settings] = None,
     pad_multiple: int = 8,
     escalate: bool = False,
     **settings_kw,
-) -> BatchResult:
+) -> ManyResult:
     """Solve a heterogeneous problem list: bucket by padded shape, run one
     vmapped batch per bucket (one compile each), scatter results back into
     input order.  The sweep-driver pattern (scripts/run_qps_suite.py) as a
-    library call; `escalate=True` adds the f32 -> f64 straggler re-solve."""
+    library call; `escalate=True` adds the f32 -> f64 straggler re-solve.
+
+    Returns a `ManyResult` whose x/y are rectangular arrays padded to the
+    largest bucket (with `n`/`m` giving true per-problem sizes) — a stable
+    typed contract for heterogeneous sweeps."""
     if settings is None:
         settings = Settings(**settings_kw)
     elif settings_kw:
@@ -238,26 +262,31 @@ def solve_many(
     sizes = [(_densify(p[0]).shape[0], _densify(p[1]).shape[0])
              for p in problems]
     buckets = bucket_indices(sizes, pad_multiple)
-    fields = {f: [None] * len(problems) for f in BatchResult._fields}
+    B = len(problems)
+    max_np = max(_round_up(n, pad_multiple) for n, _ in sizes)
+    max_mp = max(_round_up(max(m, 1), pad_multiple) for _, m in sizes)
+    ns = np.asarray([s[0] for s in sizes], np.int32)
+    ms = np.asarray([s[1] for s in sizes], np.int32)
+    x = np.zeros((B, max_np))
+    y = np.zeros((B, max_mp))
+    scal = {
+        f: np.zeros((B,), np.int32 if f in ("status", "iterations") else float)
+        for f in ("status", "iterations", "objective", "pri_res_norm",
+                  "dua_res_norm")
+    }
     for idxs in buckets.values():
         sub = [problems[i] for i in idxs]
         if escalate:
             res = solve_batch_escalate(sub, settings)
         else:
             res = solve_batch(sub, settings, pad_multiple=pad_multiple)
-        for f in BatchResult._fields:
-            arr = np.asarray(getattr(res, f))
-            for j, i in enumerate(idxs):
-                fields[f][i] = arr[j]
-    # ragged per-problem arrays stay as object lists for x/y; scalars stack
-    out = {}
-    for f in BatchResult._fields:
-        vals = fields[f]
-        if np.asarray(vals[0]).ndim == 0:
-            out[f] = jnp.asarray(np.asarray(vals))
-        else:
-            out[f] = vals  # list of per-problem arrays (bucket-padded)
-    return BatchResult(**out)
+        xb = np.asarray(res.x)
+        yb = np.asarray(res.y)
+        x[idxs, : xb.shape[1]] = xb
+        y[idxs, : yb.shape[1]] = yb
+        for f in scal:
+            scal[f][idxs] = np.asarray(getattr(res, f))
+    return ManyResult(x=x, y=y, n=ns, m=ms, **scal)
 
 
 def solve_batch_escalate(

@@ -30,9 +30,16 @@ from .scaling import identity_scaling
 from .solver.core import init_state, solve_from_state
 from .types import QPData, Settings
 
-# active-set detection margin and the equality-row penalty of the backward
-# KKT solve (sigma -> inf limit of the solver's own Schur form)
-_ACT_TOL = 1e-7
+# active-set detection margins and the equality-row penalty of the backward
+# KKT solve (sigma -> inf limit of the solver's own Schur form).  The slack
+# margin is *relative* to the constraint scale and widened for float32
+# forward solves (whose residuals sit near 1e-4, not 1e-7); rows with a
+# clearly nonzero multiplier are classified active regardless of slack
+# (the OptNet convention), so badly scaled slacks cannot silently flip a
+# row's activity.
+_ACT_TOL_F64 = 1e-7
+_ACT_TOL_F32 = 3e-4
+_Y_TOL_REL = 1e-6
 _HARD_SIGMA = 1e10
 
 
@@ -69,8 +76,11 @@ def _bwd(settings, res, gx):
     Q, A, q, bmin, bmax, x, y = res
     dtype = Q.dtype
     Ax = A @ x
-    active = (Ax <= bmin + _ACT_TOL) | (Ax >= bmax - _ACT_TOL)
-    at_upper = Ax >= bmax - _ACT_TOL
+    base = _ACT_TOL_F32 if dtype == jnp.float32 else _ACT_TOL_F64
+    tol = base * jnp.maximum(1.0, jnp.max(jnp.abs(Ax)))
+    y_tol = _Y_TOL_REL * jnp.maximum(1.0, jnp.max(jnp.abs(y)))
+    at_upper = (Ax >= bmax - tol) | (y > y_tol)
+    active = (Ax <= bmin + tol) | at_upper | (y < -y_tol)
 
     # masked KKT solve: K = Q + A_act' sigma A_act with sigma -> inf emulates
     # the equality rows; lam solves K lam = -gx up to the range-space split

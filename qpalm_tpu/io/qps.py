@@ -141,7 +141,14 @@ def save_qps(path: str, Q, A, q, bmin, bmax, c: float = 0.0,
     for i in range(m):
         lo, hi = bmin[i], bmax[i]
         rhs = hi if (lo <= -QPS_INFTY and lo != hi) else lo
-        if rhs != 0.0 and (abs(rhs) < QPS_INFTY):
+        if lo <= -QPS_INFTY and hi >= QPS_INFTY:
+            # fully-free row (written as L): the RHS entry must be emitted
+            # even though it is "infinite" — the parser clips it back to
+            # QPS_INFTY and recovers bmax = +inf; omitting it would parse
+            # back with the L-row default bmax = 0, silently tightening
+            # the constraint on round-trip
+            lines.append(f"    rhs  r{i}  {QPS_INFTY:.17g}")
+        elif rhs != 0.0 and (abs(rhs) < QPS_INFTY):
             lines.append(f"    rhs  r{i}  {rhs:.17g}")
     if ranges:
         lines.append("RANGES")

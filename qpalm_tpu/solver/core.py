@@ -819,13 +819,18 @@ def solve_from_state(
 
     if settings.unroll > 1:
         # K iterations per while_loop trip: amortizes the per-trip dispatch
-        # floor.  Safe because a done/limit-hit state passes through
-        # terminate/iteration branches unchanged (iter freezes on done).
+        # floor.  Each sub-step is guarded on done | iter >= limit so an
+        # unsolved lane can never overshoot max_iter (the while cond only
+        # checks before a trip, not between unrolled sub-steps).
         base = iteration
 
         def iteration(st: SolverState):  # noqa: F811
             for _ in range(settings.unroll):
-                st = base(st)
+                nxt = base(st)
+                stop = st.done | (st.iter >= limit)
+                st = jax.tree.map(
+                    lambda a, b: jnp.where(stop, a, b), st, nxt
+                )
             return st
 
     final = jax.lax.while_loop(cond, iteration, st)

@@ -143,6 +143,12 @@ def test_solve_many_heterogeneous():
     probs = [random_convex_qp(n, m, seed=i) for i, (n, m) in enumerate(sizes)]
     res = solve_many(probs, SETTINGS)
     assert np.all(np.asarray(res.status) == qpalm_tpu.QPALM_SOLVED)
+    # typed rectangular contract: real 2-D arrays padded to the largest
+    # bucket, with true sizes carried per problem
+    assert isinstance(res.x, np.ndarray) and res.x.ndim == 2
+    assert isinstance(res.y, np.ndarray) and res.y.ndim == 2
+    assert list(res.n) == [s[0] for s in sizes]
+    assert list(res.m) == [s[1] for s in sizes]
     for i, p in enumerate(probs):
         n, m = sizes[i]
         kkt_check(*p, np.asarray(res.x[i])[:n], np.asarray(res.y[i])[:m],
