@@ -1,0 +1,705 @@
+"""Fused Pallas TPU solve kernel: the whole P-ALM iteration loop in VMEM.
+
+Why this exists.  The vmapped XLA solve loop (solver/core.py) spends ~8 ms
+per lockstep iteration at B=512, n=64: XLA's batched Cholesky alone is
+~5 ms, the batched triangular solves ~2 ms, and each while_loop trip adds
+~5 ms of dispatch overhead on this TPU stack — against ~0.1 ms of actual
+arithmetic at VPU speed.  This kernel runs T solver iterations per
+`pallas_call` with every operand VMEM-resident, in a lane-last layout
+((n, n, LANES) etc., LANES=128 = the VPU lane width), so that
+
+  * the Schur assembly, Cholesky, triangular solves and matvecs are
+    column-sweep `fori_loop`s whose every step is a full-width (.., 128)
+    VPU op vectorized across 128 problems at once;
+  * the exact linesearch is the sort-free safeguarded-Newton/bisection
+    form (solver/linesearch.py linesearch_bisection) — sorts don't
+    vectorize across lanes, hinge evaluations do;
+  * there is ONE device program for the whole chunk: no per-iteration
+    dispatch, no HBM round-trips for state.
+
+Semantics: identical to solver/core.py (reference src/qpalm.c:484-711) for
+the configuration the batch bench uses — SCHUR factorization, convex,
+proximal, any scaling (Ruiz runs outside; the kernel gets per-lane
+Dinv/Einv/cinv for the termination norms).  Out of scope (lanes fall back
+to the general solver): nonconvex gamma pinning, infeasibility
+certificates (an infeasible lane simply fails to converge here and is
+re-solved by the general path), dual-objective termination, KKT/CG/STAGE
+modes.  `solve_batch_fused` wires the kernel into the stacked-batch flow
+with cold or warm starts.
+
+Reference anchors: iteration math src/iteration.c:24-229, termination
+src/termination.c:44-129, Newton src/newton.c:96-113 (Schur path),
+linesearch src/linesearch.c:14-120.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..types import QPData, Settings
+
+LANES = 128  # problems per kernel program (= VPU lane width)
+
+# scalar-state rows (SC ref layout, one row per per-lane scalar)
+_GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
+    _GAMMA_MAXED, _ITER_OUT, _GERSH, _NB_CHANGED, _PRI_NORM, _DUA_NORM, \
+    _SC_ROWS = range(14)
+
+
+def _make_kernel(n: int, m: int, T: int, s: Settings):
+    """Build the kernel body for static (n, m, chunk length, settings)."""
+    eps_abs = float(s.eps_abs)
+    eps_rel = float(s.eps_rel)
+    rho = float(s.rho)
+    theta = float(s.theta)
+    delta = float(s.delta)
+    sigma_max = float(s.sigma_max)
+    gamma_upd = float(s.gamma_upd)
+    gamma_max = float(s.gamma_max)
+    inner_max_iter = int(s.inner_max_iter)
+    max_iter = int(s.max_iter)
+    proximal = bool(s.proximal)
+
+    def pick(vec_ref_val, iota, k):
+        """Row k of a (rows, LANES) value as (1, LANES) via masked reduce."""
+        return jnp.sum(jnp.where(iota == k, vec_ref_val, 0.0), axis=0,
+                       keepdims=True)
+
+    def kernel(Q_ref, A_ref, q_ref, bmin_ref, bmax_ref, Dinv_ref, Einv_ref,
+               cinv_ref,
+               _xi, _x0i, _Qxi, _yi, _Axi, _sigi, _prini, _actoldi, _sci,
+               x_ref, x0_ref, Qx_ref, y_ref, Ax_ref, sig_ref, prin_ref,
+               actold_ref, sc_ref,
+               M_s, d_s, yh_s, w_s, Qd_s, Ad_s):
+        # the state inputs alias the state outputs buffer-for-buffer
+        # (input_output_aliases below), so the kernel reads and writes
+        # through the out refs only; the *_i refs are the same memory.
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+        q = q_ref[:]
+        bmin = bmin_ref[:]
+        bmax = bmax_ref[:]
+        Dinv = Dinv_ref[:]
+        Einv = Einv_ref[:]
+        cinv = cinv_ref[:]
+
+        def matvec_At(vsrc_ref, out_ref):
+            """out (n, LANES) = A' @ vsrc, lane-vectorized."""
+            out_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+
+            def step(mi, _):
+                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
+                vrow = vsrc_ref[pl.ds(mi, 1), :]             # (1, LANES)
+                out_ref[:] = out_ref[:] + arow * vrow
+                return 0
+
+            jax.lax.fori_loop(0, m, step, 0)
+
+        def matvec_A(vsrc_ref, out_ref):
+            """out (m, LANES) = A @ vsrc, lane-vectorized."""
+            def step(mi, _):
+                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
+                out_ref[pl.ds(mi, 1), :] = jnp.sum(
+                    arow * vsrc_ref[:], axis=0, keepdims=True
+                )
+                return 0
+
+            jax.lax.fori_loop(0, m, step, 0)
+
+        def matvec_Q(vsrc_ref, out_ref):
+            """out (n, LANES) = Q @ vsrc (Q symmetric, row sweep)."""
+            def step(i, _):
+                qrow = Q_ref[pl.ds(i, 1), :, :][0]           # (n, LANES)
+                out_ref[pl.ds(i, 1), :] = jnp.sum(
+                    qrow * vsrc_ref[:], axis=0, keepdims=True
+                )
+                return 0
+
+            jax.lax.fori_loop(0, n, step, 0)
+
+        def newton_solve(gamma_inv):
+            """M = Q + A'diag(w)A (+ gamma_inv I); d = M^{-1} (-dphi).
+            w_s holds the masked sigma, d_s holds -dphi on entry and the
+            direction on exit.  Returns the Gershgorin bound of A'WA."""
+            M_s[:] = Q_ref[:]
+
+            def asm(mi, _):
+                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
+                wrow = w_s[pl.ds(mi, 1), :]                  # (1, LANES)
+                M_s[:] = M_s[:] + (wrow * arow)[:, None, :] * arow[None, :, :]
+                return 0
+
+            jax.lax.fori_loop(0, m, asm, 0)
+            # Gershgorin upper bound of A'WA = M - Q: all entries of a PSD
+            # Gram matrix row; diagonal is >= 0 so plain |.| row sums work
+            G = M_s[:] - Q_ref[:]
+            gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
+                            keepdims=True)                    # (1, LANES)
+            if proximal:
+                # 3-D iota from the start: Mosaic cannot reshape i1
+                # vectors to add a minor dim, so the mask is built f32
+                eyef = (
+                    jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+                ).astype(jnp.float32)
+                M_s[:] = M_s[:] + eyef * gamma_inv[None, :, :]
+
+            # in-place Cholesky, upper R with R'R = M, lane-vectorized
+            def chol(k, _):
+                row = M_s[pl.ds(k, 1), :, :][0]              # (n, LANES)
+                akk = pick(row, iota_n, k)                   # (1, LANES)
+                inv = jax.lax.rsqrt(akk)
+                row = row * inv
+                rt = jnp.where(iota_n > k, row, 0.0)
+                M_s[:] = M_s[:] - rt[:, None, :] * rt[None, :, :]
+                M_s[pl.ds(k, 1), :, :] = jnp.where(iota_n >= k, row, 0.0)[
+                    None
+                ]
+                return 0
+
+            jax.lax.fori_loop(0, n, chol, 0)
+
+            # forward substitution L z = b with L = R' (z overwrites d_s)
+            def fwd(j, _):
+                rrow = M_s[pl.ds(j, 1), :, :][0]             # (n, LANES)
+                rjj = pick(rrow, iota_n, j)
+                bj = d_s[pl.ds(j, 1), :] / rjj
+                d_s[:] = d_s[:] - bj * jnp.where(iota_n > j, rrow, 0.0)
+                d_s[pl.ds(j, 1), :] = bj
+                return 0
+
+            jax.lax.fori_loop(0, n, fwd, 0)
+
+            # backward substitution R x = z
+            def bwd(t, _):
+                k = n - 1 - t
+                rrow = M_s[pl.ds(k, 1), :, :][0]
+                rkk = pick(rrow, iota_n, k)
+                dot = jnp.sum(
+                    jnp.where(iota_n > k, rrow, 0.0) * d_s[:], axis=0,
+                    keepdims=True,
+                )
+                d_s[pl.ds(k, 1), :] = (d_s[pl.ds(k, 1), :] - dot) / rkk
+                return 0
+
+            jax.lax.fori_loop(0, n, bwd, 0)
+            return gersh
+
+        def linesearch(eta, beta, sqs, Ad, Ax, y, sig):
+            """Sort-free exact linesearch (linesearch_bisection twin).
+            All operands (m, LANES) / (1, LANES); returns tau (1, LANES)."""
+            sad = sqs * Ad
+            alo = (y + sig * (Ax - bmin)) / sqs
+            ahi = (-y + sig * (bmax - Ax)) / sqs
+            tiny = jnp.float32(np.finfo(np.float32).tiny)
+
+            def ab_at(tau):
+                # hinge sums over both breakpoint families
+                act1 = (-sad * tau - alo) > 0
+                act2 = (sad * tau - ahi) > 0
+                dd = sad * sad
+                a = eta + jnp.sum(
+                    jnp.where(act1, dd, 0.0) + jnp.where(act2, dd, 0.0),
+                    axis=0, keepdims=True,
+                )
+                b = beta - jnp.sum(
+                    jnp.where(act1, -sad * alo, 0.0)
+                    + jnp.where(act2, sad * ahi, 0.0),
+                    axis=0, keepdims=True,
+                )
+                return a, b
+
+            a0, b0 = ab_at(tiny)
+            big = jnp.float32(1e30)
+            s1 = alo / (-sad)
+            s2 = ahi / sad
+            smax = jnp.maximum(
+                jnp.max(jnp.where((s1 > 0) & (s1 < big), s1, 0.0),
+                        axis=0, keepdims=True),
+                jnp.max(jnp.where((s2 > 0) & (s2 < big), s2, 0.0),
+                        axis=0, keepdims=True),
+            )
+            actf1 = -sad > 0
+            actf2 = sad > 0
+            dd = sad * sad
+            a_fin = eta + jnp.sum(
+                jnp.where(actf1, dd, 0.0) + jnp.where(actf2, dd, 0.0),
+                axis=0, keepdims=True,
+            )
+            b_fin = beta - jnp.sum(
+                jnp.where(actf1, -sad * alo, 0.0)
+                + jnp.where(actf2, sad * ahi, 0.0),
+                axis=0, keepdims=True,
+            )
+            tau_fin = -b_fin / jnp.maximum(a_fin, tiny)
+            hi = jnp.maximum(jnp.maximum(smax, tau_fin), 1.0) * 1.01 + 1.0
+            lo = jnp.zeros_like(hi)
+            tau0 = jnp.minimum(-b0 / jnp.maximum(a0, tiny), hi)
+            tau0 = jnp.where(tau0 > 0, tau0, 0.5 * hi)
+
+            def bstep(_, state):
+                lo, hi, tau = state
+                a, b = ab_at(tau)
+                prop = -b / jnp.maximum(a, tiny)
+                mid = 0.5 * (lo + hi)
+                prop = jnp.where((prop > lo) & (prop < hi), prop, mid)
+                pa, pb = ab_at(prop)
+                pos = pa * prop + pb > 0
+                return (
+                    jnp.where(pos, lo, prop),
+                    jnp.where(pos, prop, hi),
+                    prop,
+                )
+
+            lo, hi, tau = jax.lax.fori_loop(0, 26, bstep, (lo, hi, tau0))
+            a, b = ab_at(tau)
+            tau_star = -b / jnp.maximum(a, tiny)
+            return jnp.where(a0 * tiny + b0 > 0, -b0 / a0, tau_star)
+
+        def iteration(t, _):
+            # predicated early exit: once every lane in the block is done,
+            # the remaining fori trips execute nothing (a fori_loop cannot
+            # break, but a skipped body is nearly free)
+            @pl.when(jnp.min(sc_ref[pl.ds(_DONE, 1), :]) < 0.5)
+            def _body():
+                _iteration_body(t)
+
+            return 0
+
+        def _iteration_body(t):
+            x = x_ref[:]
+            x0 = x0_ref[:]
+            Qx = Qx_ref[:]
+            y = y_ref[:]
+            Ax = Ax_ref[:]
+            sig = sig_ref[:]
+            sc = sc_ref[:]
+            gamma = sc[_GAMMA][None]                           # (1, LANES)
+            done = sc[_DONE][None] > 0.5
+
+            # ---- residuals (iteration.c:24-48) ----
+            sinv = 1.0 / sig
+            Axys = Ax + y * sinv
+            z = jnp.clip(Axys, bmin, bmax)
+            pri_res = Ax - z
+            yh = y + sig * pri_res
+            yh_s[:] = yh
+            df = Qx + q
+            if proximal:
+                df = df - x0 / gamma
+            matvec_At(yh_s, d_s)                               # d_s = A'yh
+            Atyh = d_s[:]
+            dphi = df + Atyh
+
+            # ---- termination (termination.c:44-129) ----
+            pri_norm = jnp.max(jnp.abs(Einv * pri_res), axis=0, keepdims=True)
+            if proximal:
+                dd_ = dphi - (x - x0) / gamma
+            else:
+                dd_ = dphi
+            dua_norm = jnp.max(jnp.abs(Dinv * dd_), axis=0, keepdims=True) \
+                * cinv
+            dua2_norm = jnp.max(jnp.abs(Dinv * dphi), axis=0, keepdims=True) \
+                * cinv
+            eps_pri = eps_abs + eps_rel * jnp.maximum(
+                jnp.max(jnp.abs(Einv * Ax), axis=0, keepdims=True),
+                jnp.max(jnp.abs(Einv * z), axis=0, keepdims=True),
+            )
+            max_norm = jnp.maximum(
+                jnp.max(jnp.abs(Dinv * Qx), axis=0, keepdims=True),
+                jnp.maximum(
+                    jnp.max(jnp.abs(Dinv * q), axis=0, keepdims=True),
+                    jnp.max(jnp.abs(Dinv * Atyh), axis=0, keepdims=True),
+                ),
+            ) * cinv
+            eps_dua = eps_abs + eps_rel * max_norm
+            eps_dua_in = sc[_EPSA_IN][None] + sc[_EPSR_IN][None] * max_norm
+
+            solved = (pri_norm < eps_pri) & (dua_norm < eps_dua) & ~done
+            subproblem_done = dua2_norm <= eps_dua_in
+            outer_trigger = subproblem_done | (sc[_NO_CHANGE][None] >= 3)
+            exhausted = sc[_ITER][None] == (
+                sc[_PREV_ITER][None] + inner_max_iter
+            )
+            live = ~done & ~solved & (sc[_ITER][None] < max_iter)
+            b_outer = live & outer_trigger
+            b_exh = live & ~outer_trigger & exhausted
+            b_inner = live & ~outer_trigger & ~exhausted
+            b_sig = b_outer | b_exh
+
+            # ---- sigma update (iteration.c:86-145), outer/exhausted ----
+            pn_uns = jnp.max(jnp.abs(pri_res), axis=0, keepdims=True)
+            sig_enabled = b_sig & (sc[_ITER_OUT][None] > 0) \
+                & (pri_norm > eps_pri)
+            cond_k = sig_enabled & (
+                jnp.abs(pri_res) > theta * jnp.abs(prin_ref[:])
+            ) & (actold_ref[:] > 0.5)
+            mult = jnp.maximum(1.0, delta * jnp.abs(pri_res) / (pn_uns + 1e-6))
+            sig_new = jnp.where(
+                cond_k, jnp.minimum(mult * sig, sigma_max), sig
+            )
+
+            # ---- outer update (qpalm.c:515-644) ----
+            y_new = jnp.where(b_outer, yh, y)
+            epsa_new = jnp.where(
+                b_outer, jnp.maximum(eps_abs, rho * sc[_EPSA_IN][None]),
+                sc[_EPSA_IN][None],
+            )
+            epsr_new = jnp.where(
+                b_outer, jnp.maximum(eps_rel, rho * sc[_EPSR_IN][None]),
+                sc[_EPSR_IN][None],
+            )
+
+            gamma_new = gamma
+            Qx_g = Qx
+            actold_after = actold_ref[:]
+            nbch_new = sc[_NB_CHANGED][None]
+            gmaxed_new = sc[_GAMMA_MAXED][None]
+            if proximal:
+                # boost when the active set has settled (qpalm.c:612-630)
+                check = b_outer & (gmaxed_new < 0.5) \
+                    & (sc[_ITER_OUT][None] > 0) \
+                    & (sc[_NB_CHANGED][None] < 0.5) & (pri_norm < eps_pri)
+                sinv2 = 1.0 / sig_new
+                Axys2 = Ax + y_new * sinv2
+                act2 = ((Axys2 <= bmin) | (Axys2 >= bmax)).astype(jnp.float32)
+                nb2 = jnp.sum(
+                    jnp.abs(act2 - actold_ref[:]), axis=0, keepdims=True
+                )
+                nact2 = jnp.sum(act2, axis=0, keepdims=True)
+                boost = check & (nb2 < 0.5)
+                boosted = jnp.where(
+                    nact2 > 0.5,
+                    jnp.maximum(
+                        gamma_max, 1e14 / jnp.maximum(sc[_GERSH][None], 1e-30)
+                    ),
+                    jnp.float32(1e12),
+                )
+                stepped = jnp.where(
+                    gamma < gamma_max,
+                    jnp.minimum(gamma * gamma_upd, gamma_max),
+                    gamma,
+                )
+                g_out = jnp.where(boost, boosted, stepped)
+                g_exh = jnp.where(
+                    gamma < gamma_max,
+                    jnp.minimum(gamma * gamma_upd, gamma_max),
+                    gamma,
+                )
+                gamma_new = jnp.where(
+                    b_outer, g_out, jnp.where(b_exh, g_exh, gamma)
+                )
+                diff = 1.0 / gamma_new - 1.0 / gamma
+                Qx_g = jnp.where(b_sig & (gamma_new != gamma),
+                                 Qx + diff * x, Qx)
+                gmaxed_new = jnp.where(
+                    boost & (nact2 > 0.5), jnp.float32(1.0), gmaxed_new
+                )
+                # the boost check overwrites the active-set diff
+                # (qpalm.c:617-618 side effect)
+                actold_after = jnp.where(check, act2, actold_after)
+                nbch_new = jnp.where(check, jnp.minimum(nb2, 1.0), nbch_new)
+
+            prin_new = jnp.where(b_sig, pri_res, prin_ref[:])
+            x0_new = jnp.where(b_sig, x, x0) if proximal else x0
+            iter_out_new = sc[_ITER_OUT][None] + b_sig.astype(jnp.float32)
+            prev_iter_new = jnp.where(
+                b_sig, sc[_ITER][None], sc[_PREV_ITER][None]
+            )
+            no_change_after_outer = jnp.where(
+                b_sig, jnp.float32(0.0), sc[_NO_CHANGE][None]
+            )
+
+            # ---- inner newton step (qpalm.c:662-678) ----
+            active = ((Axys <= bmin) | (Axys >= bmax)).astype(jnp.float32)
+            nb_inner = jnp.sum(
+                jnp.abs(active - actold_ref[:]), axis=0, keepdims=True
+            )
+            no_change_new = jnp.where(
+                b_inner,
+                jnp.where(nb_inner > 0.5, 0.0, no_change_after_outer + 1.0),
+                no_change_after_outer,
+            )
+            actold_new = jnp.where(b_inner, active, actold_after)
+            nbch_final = jnp.where(
+                b_inner, jnp.minimum(nb_inner, 1.0), nbch_new
+            )
+
+            # Newton solve runs for every lane (vmap-style: masked apply)
+            w_s[:] = active * sig_new
+            d_s[:] = -dphi
+            ginv = (1.0 / gamma_new) if proximal else jnp.zeros_like(gamma)
+            gersh = newton_solve(ginv)
+            gersh_new = jnp.where(b_inner, gersh, sc[_GERSH][None])
+
+            # Qd = Q d (+ d/gamma), Ad = A d
+            matvec_Q(d_s, Qd_s)
+            if proximal:
+                Qd_s[:] = Qd_s[:] + d_s[:] / gamma_new
+            matvec_A(d_s, Ad_s)
+            d = d_s[:]
+            Qd = Qd_s[:]
+            Ad = Ad_s[:]
+            eta = jnp.sum(d * Qd, axis=0, keepdims=True)
+            beta = jnp.sum(d * df, axis=0, keepdims=True)
+            sqs = jnp.sqrt(sig_new)
+            tau = linesearch(eta, beta, sqs, Ad, Ax, y_new, sig_new)
+
+            inner_f = b_inner.astype(jnp.float32)
+            x_ref[:] = x + inner_f * tau * d
+            Qx_ref[:] = Qx_g + inner_f * tau * Qd
+            Ax_ref[:] = Ax + inner_f * tau * Ad
+            x0_ref[:] = x0_new
+            y_ref[:] = y_new
+            sig_ref[:] = jnp.where(b_sig, sig_new, sig)
+            prin_ref[:] = prin_new
+            actold_ref[:] = actold_new
+
+            # ---- scalar state (solved lanes stop counting: the reference
+            # for-loop does not advance iter on the terminating trip) ----
+            done_new = (done | solved).astype(jnp.float32)
+            iter_new = sc[_ITER][None] + live.astype(jnp.float32)
+            for row_idx, val in (
+                (_GAMMA, gamma_new),
+                (_EPSA_IN, epsa_new),
+                (_EPSR_IN, epsr_new),
+                (_DONE, done_new),
+                (_ITER, iter_new),
+                (_PREV_ITER, prev_iter_new),
+                (_NO_CHANGE, no_change_new),
+                (_GAMMA_MAXED,
+                 gmaxed_new if proximal else sc[_GAMMA_MAXED][None]),
+                (_ITER_OUT, iter_out_new),
+                (_GERSH, gersh_new),
+                (_NB_CHANGED, nbch_final),
+                (_PRI_NORM, pri_norm),
+                (_DUA_NORM, dua_norm),
+            ):
+                sc_ref[pl.ds(row_idx, 1), :] = val
+
+        jax.lax.fori_loop(0, T, iteration, 0)
+
+    return kernel
+
+
+class FusedState(NamedTuple):
+    """Lane-last kernel state (leading dim = vector length, trailing = B)."""
+
+    x: jnp.ndarray        # (n, B)
+    x0: jnp.ndarray       # (n, B)
+    Qx: jnp.ndarray       # (n, B)
+    y: jnp.ndarray        # (m, B)
+    Ax: jnp.ndarray       # (m, B)
+    sigma: jnp.ndarray    # (m, B)
+    pri_res_in: jnp.ndarray  # (m, B)
+    act_old: jnp.ndarray  # (m, B) 0/1 mask
+    sc: jnp.ndarray       # (_SC_ROWS, B) per-lane scalars
+
+
+@functools.partial(jax.jit, static_argnames=("T", "settings", "interpret"))
+def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
+                interpret: bool = False) -> FusedState:
+    """Run T solver iterations on lane-last stacked data.
+
+    data_t: (Q (n,n,B), A (m,n,B), q (n,B), bmin (m,B), bmax (m,B))
+    scal_t: (Dinv (n,B), Einv (m,B), cinv (1,B))  — identity when unscaled.
+    """
+    Q, A, q, bmin, bmax = data_t
+    n, _, B = Q.shape
+    m = A.shape[0]
+    assert B % LANES == 0, B
+    kernel = _make_kernel(n, m, T, settings)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec3(r1, r2):
+        return pl.BlockSpec((r1, r2, LANES), lambda: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec3(n, n), spec3(m, n), spec(n), spec(m), spec(m),
+        spec(n), spec(m), spec(1),
+        spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
+        spec(m), spec(_SC_ROWS),
+    ]
+    out_specs = tuple(
+        [spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
+         spec(m), spec(_SC_ROWS)]
+    )
+
+    def one_block(args):
+        """One LANES-wide block, grid-less: a multi-program grid makes
+        pallas double-buffer the ~5 MB of block inputs and the Mosaic
+        compile crashes at this VMEM pressure — so the B//LANES blocks are
+        issued as separate pallas_calls inside this jit (the kernel binary
+        is compiled once and reused)."""
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(args[k].shape, jnp.float32)
+            for k in range(8, 17)
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n, n, LANES), jnp.float32),   # M_s
+                pltpu.VMEM((n, LANES), jnp.float32),      # d_s
+                pltpu.VMEM((m, LANES), jnp.float32),      # yh_s
+                pltpu.VMEM((m, LANES), jnp.float32),      # w_s
+                pltpu.VMEM((n, LANES), jnp.float32),      # Qd_s
+                pltpu.VMEM((m, LANES), jnp.float32),      # Ad_s
+            ],
+            input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
+                                  14: 6, 15: 7, 16: 8},
+            interpret=interpret,
+        )(*args)
+
+    with jax.enable_x64(False):
+        blocks = []
+        for c in range(B // LANES):
+            sl = slice(c * LANES, (c + 1) * LANES)
+            args = (
+                Q[..., sl], A[..., sl], q[..., sl], bmin[..., sl],
+                bmax[..., sl], scal_t[0][..., sl], scal_t[1][..., sl],
+                scal_t[2][..., sl],
+                st.x[..., sl], st.x0[..., sl], st.Qx[..., sl],
+                st.y[..., sl], st.Ax[..., sl], st.sigma[..., sl],
+                st.pri_res_in[..., sl], st.act_old[..., sl],
+                st.sc[..., sl],
+            )
+            blocks.append(one_block(args))
+        outs = [
+            jnp.concatenate([b[k] for b in blocks], axis=-1)
+            for k in range(9)
+        ]
+    return FusedState(*outs)
+
+
+def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None):
+    """Cold/warm-start state in lane-last layout (qpalm.c:322-399 and the
+    sigma heuristic iteration.c:50-84, matching core.init_state)."""
+    Q, A, q, bmin, bmax = data_t
+    n, _, B = Q.shape
+    m = A.shape[0]
+    f32 = jnp.float32
+    if x_ws is not None:
+        x = jnp.asarray(x_ws, f32)
+        Qx_pure = jnp.einsum("ijb,jb->ib", Q, x)
+        Qx = Qx_pure + x / settings.gamma_init if settings.proximal \
+            else Qx_pure
+        Ax = jnp.einsum("ijb,jb->ib", A, x)
+    else:
+        x = jnp.zeros((n, B), f32)
+        Qx = jnp.zeros((n, B), f32)
+        Ax = jnp.zeros((m, B), f32)
+    y = jnp.asarray(y_ws, f32) if y_ws is not None else jnp.zeros((m, B), f32)
+
+    f = 0.5 * jnp.sum(x * Qx, axis=0) + jnp.sum(q * x, axis=0)
+    dist = Ax - jnp.clip(Ax, bmin, bmax)
+    dist2 = jnp.sum(dist * dist, axis=0)
+    sig0 = jnp.clip(
+        settings.sigma_init * jnp.maximum(1.0, jnp.abs(f))
+        / jnp.maximum(1.0, 0.5 * dist2),
+        1e-4, 1e4,
+    ).astype(f32)
+    sigma = jnp.broadcast_to(sig0[None, :], (m, B)).copy()
+
+    sc = jnp.zeros((_SC_ROWS, B), f32)
+    sc = sc.at[_GAMMA].set(settings.gamma_init)
+    sc = sc.at[_EPSA_IN].set(settings.eps_abs_in)
+    sc = sc.at[_EPSR_IN].set(settings.eps_rel_in)
+    return FusedState(
+        x=x, x0=x, Qx=Qx, y=y, Ax=Ax, sigma=sigma,
+        pri_res_in=jnp.zeros((m, B), f32),
+        act_old=jnp.zeros((m, B), f32),
+        sc=sc,
+    )
+
+
+def solve_batch_fused(
+    data: QPData,
+    settings: Settings,
+    x_ws=None,
+    y_ws=None,
+    chunk: int = 0,
+    interpret: bool = False,
+):
+    """Solve a stacked batch (leading batch axis, as from stack_problems)
+    with the fused kernel.  Returns (x (B,n), y (B,m), status (B,),
+    iterations (B,), pri_norm (B,), dua_norm (B,)) — unscaled.
+
+    Scaling (reference scaling.c) runs outside the kernel, vmapped; the
+    kernel receives per-lane Dinv/Einv/cinv for its termination norms.
+    `chunk` 0 means one kernel call covering max_iter iterations.
+    """
+    from ..scaling import identity_scaling, scale_data
+
+    B = data.q.shape[0]
+    n = data.q.shape[1]
+    m = data.bmin.shape[1]
+    f32 = jnp.float32
+    d32 = jax.tree.map(lambda a: jnp.asarray(a, f32), data)
+    if settings.scaling:
+        sdata, scal = jax.vmap(
+            lambda d: scale_data(d, settings.scaling)
+        )(d32)
+    else:
+        from ..types import ScalingInfo
+
+        sdata = d32
+        one_n = jnp.ones((B, n), f32)
+        one_m = jnp.ones((B, m), f32)
+        one = jnp.ones((B,), f32)
+        scal = ScalingInfo(D=one_n, Dinv=one_n, E=one_m, Einv=one_m,
+                           c=one, cinv=one)
+
+    tr = lambda a: jnp.moveaxis(a, 0, -1)  # lane-last
+    data_t = (tr(sdata.Q), tr(sdata.A), tr(sdata.q), tr(sdata.bmin),
+              tr(sdata.bmax))
+    scal_t = (tr(scal.Dinv), tr(scal.Einv), tr(scal.cinv)[None])
+
+    xw = yw = None
+    if x_ws is not None:
+        xw = tr(jnp.asarray(x_ws, f32) * scal.Dinv)
+    if y_ws is not None:
+        yw = tr(jnp.asarray(y_ws, f32) * scal.Einv * scal.c[:, None])
+    st = _init_fused(data_t, settings, xw, yw)
+
+    T = int(chunk) if chunk else int(settings.max_iter)
+    iters_done = 0
+    while iters_done < settings.max_iter:
+        step = min(T, settings.max_iter - iters_done)
+        st = fused_chunk(data_t, scal_t, st, step, settings, interpret)
+        iters_done += step
+        if iters_done < settings.max_iter:
+            if bool(jnp.all(st.sc[_DONE] > 0.5)):
+                break
+
+    # unscale + final multipliers (termination.c:242-252)
+    sinv = 1.0 / st.sigma
+    Axys = st.Ax + st.y * sinv
+    z = jnp.clip(Axys, data_t[3], data_t[4])
+    yh = st.y + st.sigma * (st.Ax - z)
+    D = tr(scal.D)
+    E = tr(scal.E)
+    cinv_l = tr(scal.cinv)[None]
+    x_sol = jnp.moveaxis(D * st.x, -1, 0)
+    y_sol = jnp.moveaxis(E * (cinv_l * yh), -1, 0)
+    solved = st.sc[_DONE] > 0.5
+    status = jnp.where(
+        solved, C.QPALM_SOLVED, C.QPALM_MAX_ITER_REACHED
+    ).astype(jnp.int32)
+    return (
+        x_sol, y_sol, status, st.sc[_ITER].astype(jnp.int32),
+        st.sc[_PRI_NORM], st.sc[_DUA_NORM],
+    )

@@ -17,6 +17,7 @@ relies on at linesearch.c:46 for delta == 0 entries) are preserved exactly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -49,6 +50,76 @@ def exact_linesearch(
     alpha = jnp.concatenate([alpha_lo, alpha_hi])  # (2m,)
 
     return linesearch_from_breakpoints(eta, beta, delta, alpha)
+
+
+def linesearch_bisection(eta, beta, delta, alpha, iters: int = 30):
+    """Sort-free exact linesearch: safeguarded Newton/bisection on the
+    monotone piecewise-linear derivative
+
+        psi'(tau) = eta*tau + beta + sum_i delta_i * (delta_i*tau - alpha_i)
+                                              * 1[delta_i*tau - alpha_i > 0]
+
+    which is the same function the sorted breakpoint walk of
+    `linesearch_from_breakpoints` evaluates piece by piece (reference:
+    linesearch.c:96-117 — each passed breakpoint adds delta^2 to the slope
+    and -delta*alpha to the intercept; hinges with delta < 0 deactivate).
+
+    Within the correct piece the Newton proposal -b/a is the *exact* root,
+    and each bisection halving reduces the candidate piece set, so `iters`
+    ~ log2(2m) + a few lands exactly.  No sort, no scan: each step is a
+    handful of fused elementwise ops — the form a TPU VPU (or a Pallas
+    kernel) wants.  Matches `linesearch_from_breakpoints` to fp tolerance,
+    including the tau <= 0 case (derivative already positive at 0+, where
+    the reference returns -b0/a0 from the 0+ piece).
+    """
+    dtype = delta.dtype
+    dd = delta * delta
+    da = delta * alpha
+
+    def ab_at(tau):
+        act = (delta * tau - alpha) > 0
+        a = eta + jnp.sum(jnp.where(act, dd, 0.0), axis=-1)
+        b = beta - jnp.sum(jnp.where(act, da, 0.0), axis=-1)
+        return a, b
+
+    # the 0+ piece (reference j_mask): hinges active just right of 0
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    a0, b0 = ab_at(tiny)
+
+    # bracket: hi beyond every positive breakpoint and the final-piece root
+    s = alpha / delta
+    s_valid = jnp.where(s > 0, s, 0.0)
+    s_max = jnp.max(jnp.where(jnp.isfinite(s_valid), s_valid, 0.0), axis=-1)
+    act_fin = delta > 0
+    a_fin = eta + jnp.sum(jnp.where(act_fin, dd, 0.0), axis=-1)
+    b_fin = beta - jnp.sum(jnp.where(act_fin, da, 0.0), axis=-1)
+    tau_fin = -b_fin / jnp.maximum(a_fin, tiny)
+    hi = jnp.maximum(jnp.maximum(s_max, tau_fin), 1.0) * 1.01 + 1.0
+    lo = jnp.zeros_like(hi)
+
+    def step(_, state):
+        lo, hi, tau = state
+        a, b = ab_at(tau)
+        # exact root of the current piece, safeguarded into the bracket
+        prop = -b / jnp.maximum(a, tiny)
+        mid = 0.5 * (lo + hi)
+        prop = jnp.where((prop > lo) & (prop < hi), prop, mid)
+        pa, pb = ab_at(prop)
+        pos = pa * prop + pb > 0
+        return (
+            jnp.where(pos, lo, prop),
+            jnp.where(pos, prop, hi),
+            prop,
+        )
+
+    tau0 = jnp.minimum(-b0 / jnp.maximum(a0, tiny), hi)
+    tau0 = jnp.where(tau0 > 0, tau0, 0.5 * hi)
+    lo, hi, tau = jax.lax.fori_loop(0, iters, step, (lo, hi, tau0))
+    # final exact Newton step from the landed piece
+    a, b = ab_at(tau)
+    tau_star = -b / jnp.maximum(a, tiny)
+    # derivative already positive at 0+ -> the reference's tau <= 0 answer
+    return jnp.where(a0 * tiny + b0 > 0, -b0 / a0, tau_star)
 
 
 def linesearch_from_breakpoints(eta, beta, delta, alpha):
