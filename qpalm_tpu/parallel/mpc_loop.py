@@ -16,18 +16,21 @@ over the mesh:
     replicated sort-and-scan,
   * all norms/counters reduce with `pmax` / `psum`.
 
-Scope (v1, the chain80w protocol): convex, proximal off, scaling off,
-statuses solved / max-iter (MPC ladders are feasible by construction, so
-the infeasibility certificates of the general solver are not replicated
-here).  Semantics otherwise mirror qpalm_tpu.solver.core / the reference
-qpalm.c loop; equivalence to the sequential solver is tested on the same
-problems.
+Full solver parity (round 2): proximal with the gamma schedule and the
+settled-active-set gamma *boost* (reference qpalm.c:612-630,
+iteration.c:158-205, with the Gershgorin bound computed distributed from
+the block-tridiagonal assembly), Ruiz scaling (distributed equilibration
+producing per-stage scaled dynamics matrices, reference scaling.c:34-113),
+warm starts (qpalm.c:322-399), and both infeasibility certificates
+(termination.c:136-240) with their delta_y / delta_x vectors returned
+stage-sharded.  Out of scope: nonconvex (a distributed LOBPCG has no
+reference analogue; pin gamma via Settings externally if needed).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import constants as C
+from ..constants import MIN_SCALING
 from ..solver.linesearch import linesearch_from_breakpoints
 from ..types import Settings
 from .block_tridiag import spike_solve_local
@@ -59,6 +63,41 @@ class MPCStageData(NamedTuple):
     hi: jnp.ndarray   # (S, nb)
     Ad: jnp.ndarray   # (nx, nx) shared dynamics (replicated)
     Bd: jnp.ndarray   # (nx, nu)
+
+
+class StageScaled(NamedTuple):
+    """Scaled stage data with per-stage constraint matrices (identity
+    scaling produces broadcast copies of the shared G / Aprev and unit box
+    weights)."""
+
+    H: jnp.ndarray    # (S, nb, nb)
+    q: jnp.ndarray    # (S, nb)
+    beq: jnp.ndarray  # (S, nx)
+    lo: jnp.ndarray   # (S, nb)
+    hi: jnp.ndarray   # (S, nb)
+    G: jnp.ndarray    # (S, nx, nb) scaled dynamics row block (own stage)
+    Ap: jnp.ndarray   # (S, nx, nb) scaled coupling to the previous stage
+    W: jnp.ndarray    # (S, nb) scaled box-row diagonal weights
+
+
+class StageScaling(NamedTuple):
+    D: jnp.ndarray     # (S, nb) column scaling
+    Eeq: jnp.ndarray   # (S, nx) equality row scaling
+    Ebox: jnp.ndarray  # (S, nb) box row scaling
+    c: jnp.ndarray     # () cost scaling
+
+
+class MPCResult(NamedTuple):
+    z: jnp.ndarray        # (S, nb) stage-sharded primal solution (unscaled)
+    y_eq: jnp.ndarray     # (S, nx) equality multipliers (unscaled)
+    y_box: jnp.ndarray    # (S, nb) box multipliers (unscaled)
+    status: jnp.ndarray   # () int32
+    iterations: jnp.ndarray  # () int32
+    pri_res_norm: jnp.ndarray  # ()
+    dua_res_norm: jnp.ndarray  # ()
+    delta_y_eq: jnp.ndarray   # (S, nx) primal-infeasibility certificate
+    delta_y_box: jnp.ndarray  # (S, nb)
+    delta_z: jnp.ndarray      # (S, nb) dual-infeasibility certificate
 
 
 def from_mpc_chain(H, A, q, bmin, bmax, meta):
@@ -86,22 +125,115 @@ def from_mpc_chain(H, A, q, bmin, bmax, meta):
     )
 
 
-def _loop_body(data: MPCStageData, settings: Settings, nd: int, axis: str):
-    """Build the per-iteration function for the stage-sharded loop.
-    All (S_loc, ...) arrays are shard-local; scalars are replicated."""
-    nb = data.H.shape[-1]
+def _limit(v):
+    return jnp.where(v < MIN_SCALING, jnp.ones_like(v), v)
+
+
+def scale_stage_data(data: MPCStageData, iters: int):
+    """Distributed Ruiz equilibration of the stage-structured constraint
+    matrix + symmetric H scaling + cost scaling (reference scaling.c:34-113
+    — identical math to qpalm_tpu.scaling.scale_data, evaluated on the
+    stage-block structure; runs on globally-viewed (sharded) arrays, XLA
+    inserts the halo collectives).
+
+    The constraint rows of stage k are [G z_k - Ap z_{k-1} = beq_k] and the
+    identity box block; after scaling these become per-stage matrices
+    G_k / Ap_k and diagonal box weights W_k.
+    """
+    S, nb = data.q.shape
     nx = data.beq.shape[-1]
     dtype = data.H.dtype
-    # dynamics row of stage k:  Gmat z_k - Aprev z_{k-1} = beq_k
-    Gmat = jnp.concatenate(
-        [jnp.eye(nx, dtype=dtype), -data.Bd], axis=1
-    )  # (nx, nb)
-    Aprev = jnp.concatenate(
+    G0 = jnp.concatenate([jnp.eye(nx, dtype=dtype), -data.Bd], axis=1)
+    Ap0 = jnp.concatenate(
         [data.Ad, jnp.zeros((nx, nb - nx), dtype)], axis=1
-    )  # (nx, nb)
+    )
+    G = jnp.broadcast_to(G0, (S, nx, nb))
+    Ap_first_zero = jnp.concatenate(
+        [jnp.zeros((1, nx, nb), dtype),
+         jnp.broadcast_to(Ap0, (S - 1, nx, nb))], axis=0
+    )  # stage 0 has no z_{-1} coupling
+    Ap = Ap_first_zero
+    W = jnp.ones((S, nb), dtype)
+    D = jnp.ones((S, nb), dtype)
+    Eeq = jnp.ones((S, nx), dtype)
+    Ebox = jnp.ones((S, nb), dtype)
+    for _ in range(iters):
+        # column inf-norms of stage k's variables: |G_k| columns,
+        # |Ap_{k+1}| columns (the next stage's coupling), and the box weight
+        ap_next = jnp.concatenate(
+            [jnp.abs(Ap[1:]).max(axis=1),
+             jnp.zeros((1, nb), dtype)], axis=0
+        )
+        col = jnp.maximum(
+            jnp.abs(G).max(axis=1), jnp.maximum(ap_next, jnp.abs(W))
+        )
+        # row inf-norms
+        row_eq = jnp.maximum(
+            jnp.abs(G).max(axis=2), jnp.abs(Ap).max(axis=2)
+        )
+        row_box = jnp.abs(W)
+        Dt = 1.0 / jnp.sqrt(_limit(col))
+        Et_eq = 1.0 / jnp.sqrt(_limit(row_eq))
+        Et_box = 1.0 / jnp.sqrt(_limit(row_box))
+        Dt_prev = jnp.concatenate(
+            [jnp.ones((1, nb), dtype), Dt[:-1]], axis=0
+        )
+        G = Et_eq[:, :, None] * G * Dt[:, None, :]
+        Ap = Et_eq[:, :, None] * Ap * Dt_prev[:, None, :]
+        W = Et_box * W * Dt
+        D = D * Dt
+        Eeq = Eeq * Et_eq
+        Ebox = Ebox * Et_box
+
+    q = D * data.q
+    c = 1.0 / jnp.maximum(1.0, jnp.max(jnp.abs(q)))
+    q = c * q
+    H = c * (D[:, :, None] * data.H * D[:, None, :])
+    beq = Eeq * data.beq
+    lo = jnp.where(data.lo > -C.QPALM_INFTY, Ebox * data.lo, data.lo)
+    hi = jnp.where(data.hi < C.QPALM_INFTY, Ebox * data.hi, data.hi)
+    return (
+        StageScaled(H=H, q=q, beq=beq, lo=lo, hi=hi, G=G, Ap=Ap, W=W),
+        StageScaling(D=D, Eeq=Eeq, Ebox=Ebox, c=c),
+    )
+
+
+def identity_stage_scaling(data: MPCStageData):
+    S, nb = data.q.shape
+    nx = data.beq.shape[-1]
+    dtype = data.H.dtype
+    G0 = jnp.concatenate([jnp.eye(nx, dtype=dtype), -data.Bd], axis=1)
+    Ap0 = jnp.concatenate(
+        [data.Ad, jnp.zeros((nx, nb - nx), dtype)], axis=1
+    )
+    Ap = jnp.concatenate(
+        [jnp.zeros((1, nx, nb), dtype),
+         jnp.broadcast_to(Ap0, (S - 1, nx, nb))], axis=0
+    )
+    return (
+        StageScaled(
+            H=data.H, q=data.q, beq=data.beq, lo=data.lo, hi=data.hi,
+            G=jnp.broadcast_to(G0, (S, nx, nb)), Ap=Ap,
+            W=jnp.ones((S, nb), dtype),
+        ),
+        StageScaling(
+            D=jnp.ones((S, nb), dtype), Eeq=jnp.ones((S, nx), dtype),
+            Ebox=jnp.ones((S, nb), dtype), c=jnp.ones((), dtype),
+        ),
+    )
+
+
+def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
+               nd: int, axis: str):
+    """Build the per-iteration function for the stage-sharded loop.
+    All (S_loc, ...) arrays are shard-local; scalars are replicated."""
+    nb = d.H.shape[-1]
+    dtype = d.H.dtype
     idx = jax.lax.axis_index(axis)
     is_first = idx == 0
     is_last = idx == nd - 1
+    prox = settings.proximal
+    cfac = scal.c if settings.scaling else jnp.ones((), dtype)
 
     def halo_left(v_last):
         """Each device receives the LEFT neighbor's per-stage tail value."""
@@ -123,98 +255,195 @@ def _loop_body(data: MPCStageData, settings: Settings, nd: int, axis: str):
     def a_matvec(z):
         """(eq (S_loc, nx), box (S_loc, nb)) rows of A z."""
         z_prev = jnp.concatenate([halo_left(z[-1])[None], z[:-1]], axis=0)
-        eq = z @ Gmat.T - z_prev @ Aprev.T
-        return eq, z
+        eq = jnp.einsum("sij,sj->si", d.G, z) - jnp.einsum(
+            "sij,sj->si", d.Ap, z_prev
+        )
+        return eq, d.W * z
 
     def at_matvec(w_eq, w_box):
         """A' w for stage-split w."""
         w_next = jnp.concatenate(
             [w_eq[1:], halo_right(w_eq[0])[None]], axis=0
         )
-        return w_eq @ Gmat - w_next @ Aprev + w_box
+        Ap_next = jnp.concatenate(
+            [d.Ap[1:], halo_right(d.Ap[0])[None]], axis=0
+        )
+        return (
+            jnp.einsum("sij,si->sj", d.G, w_eq)
+            - jnp.einsum("sij,si->sj", Ap_next, w_next)
+            + d.W * w_box
+        )
 
     def h_matvec(z):
-        return jnp.einsum("sij,sj->si", data.H, z)
+        return jnp.einsum("sij,sj->si", d.H, z)
 
-    def assemble_blocks(sig_eq, sig_box_act):
-        """Block-tridiagonal (D, E) of M = H + A' Sigma_act A."""
+    def assemble_blocks(sig_eq, sig_box_act, gamma):
+        """Block-tridiagonal (D, E) of M = H + A' Sigma_act A (+ I/gamma),
+        plus the Gershgorin bound of A' Sigma_act A (distributed,
+        reference nonconvex.c:185-210 semantics for iteration.c:158-205)."""
         sig_eq_next = jnp.concatenate(
             [sig_eq[1:], halo_right(sig_eq[0])[None]], axis=0
         )
-        # D_k = H_k + Gmat' sig_eq_k Gmat + Aprev' sig_eq_{k+1} Aprev
-        #       + diag(sig_box_act_k)
-        GtSG = jnp.einsum("ri,sr,rj->sij", Gmat, sig_eq, Gmat)
-        AtSA = jnp.einsum("ri,sr,rj->sij", Aprev, sig_eq_next, Aprev)
-        D = data.H + GtSG + AtSA
-        D = D + jnp.einsum(
-            "si,ij->sij", sig_box_act, jnp.eye(nb, dtype=dtype)
+        Ap_next = jnp.concatenate(
+            [d.Ap[1:], halo_right(d.Ap[0])[None]], axis=0
         )
-        # E_k at block (k+1, k): Gmat' sig_eq_{k+1} (-Aprev)
-        E = -jnp.einsum("ri,sr,rj->sij", Gmat, sig_eq_next, Aprev)
-        return D, E
+        GtSG = jnp.einsum("sri,sr,srj->sij", d.G, sig_eq, d.G)
+        ApSAp = jnp.einsum("sri,sr,srj->sij", Ap_next, sig_eq_next, Ap_next)
+        ats_D = GtSG + ApSAp + jnp.einsum(
+            "si,ij->sij", sig_box_act * d.W * d.W, jnp.eye(nb, dtype=dtype)
+        )
+        # off-diagonal block (k, k-1): -G_k' Sigma_k Ap_k (local), shifted
+        # so E[s] sits at block (s+1, s) as spike_solve_local expects
+        t_loc = -jnp.einsum("sri,sr,srj->sij", d.G, sig_eq, d.Ap)
+        E = jnp.concatenate([t_loc[1:], halo_right(t_loc[0])[None]], axis=0)
+        # Gershgorin: row block k couples to k-1 via t_k and to k+1 via
+        # t_{k+1}' (column sums of the halo-shifted block)
+        t_next = E
+        rowsum = (
+            jnp.sum(jnp.abs(ats_D), axis=2)
+            + jnp.sum(jnp.abs(t_loc), axis=2)
+            + jnp.sum(jnp.abs(t_next), axis=1)
+        )
+        gersh = pmax(rowsum)
+        Dblk = d.H + ats_D
+        if prox:
+            Dblk = Dblk + jnp.eye(nb, dtype=dtype)[None] / gamma
+        return Dblk, E, gersh
 
     def iteration(st):
-        (z, y_eq, y_box, sig_eq, sig_box, pri_in_eq, pri_in_box,
-         eps_abs_in, eps_rel_in, active_old, nb_enter, nb_leave,
-         no_change, it, it_out, prev_it, done, status) = st
+        (z, z0, z_prev, y_eq, y_box, sig_eq, sig_box, pri_in_eq,
+         pri_in_box, eps_abs_in, eps_rel_in, active_old, gamma,
+         gamma_maxed, gersh_c, nb_changed, no_change, it, it_out, prev_it,
+         done, status, Hd_t, Ad_eq_t, Ad_box_t, dz_cert_eq, dz_cert_box,
+         dx_cert, pri_norm_out, dua_norm_out) = st
 
-        # ---- residuals (iteration.c:24-48, scaling identity) -------------
+        # ---- residuals (iteration.c:24-48) -------------------------------
         Aeq, Abox = a_matvec(z)
         Axys_eq = Aeq + y_eq / sig_eq
         Axys_box = Abox + y_box / sig_box
-        zcl_eq = data.beq  # equality rows clamp to beq
-        zcl_box = jnp.clip(Axys_box, data.lo, data.hi)
+        zcl_eq = d.beq  # equality rows clamp to beq
+        zcl_box = jnp.clip(Axys_box, d.lo, d.hi)
         pri_eq = Aeq - zcl_eq
         pri_box = Abox - zcl_box
         yh_eq = y_eq + sig_eq * pri_eq
         yh_box = y_box + sig_box * pri_box
         Hz = h_matvec(z)
-        df = Hz + data.q
-        dphi = df + at_matvec(yh_eq, yh_box)
+        df = Hz + d.q
+        if prox:
+            df = df - z0 / gamma
+        Atyh = at_matvec(yh_eq, yh_box)
+        dphi = df + Atyh
 
-        # ---- termination (termination.c:44-129, unscaled) ----------------
-        pri_norm = jnp.maximum(pmax(jnp.abs(pri_eq)), pmax(jnp.abs(pri_box)))
-        dua_norm = pmax(jnp.abs(dphi))
+        # ---- termination (termination.c:44-129, scaled norms) ------------
+        Eeqi = 1.0 / scal.Eeq
+        Eboxi = 1.0 / scal.Ebox
+        Di = 1.0 / scal.D
+        cinv = 1.0 / cfac
+        pri_norm = jnp.maximum(
+            pmax(jnp.abs(Eeqi * pri_eq)), pmax(jnp.abs(Eboxi * pri_box))
+        )
+        if prox:
+            dd_full = dphi - (z - z0) / gamma
+        else:
+            dd_full = dphi
+        dua_norm = pmax(jnp.abs(Di * dd_full)) * cinv
+        dua2_norm = pmax(jnp.abs(Di * dphi)) * cinv
         eps_pri = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            jnp.maximum(pmax(jnp.abs(Aeq)), pmax(jnp.abs(Abox))),
-            jnp.maximum(pmax(jnp.abs(zcl_eq)), pmax(jnp.abs(zcl_box))),
+            jnp.maximum(pmax(jnp.abs(Eeqi * Aeq)),
+                        pmax(jnp.abs(Eboxi * Abox))),
+            jnp.maximum(pmax(jnp.abs(Eeqi * zcl_eq)),
+                        pmax(jnp.abs(Eboxi * zcl_box))),
         )
-        Atyh = dphi - df
+        Hz_prox = Hz + z / gamma if prox else Hz
         max_norm = jnp.maximum(
-            pmax(jnp.abs(Hz)),
-            jnp.maximum(pmax(jnp.abs(data.q)), pmax(jnp.abs(Atyh))),
-        )
+            pmax(jnp.abs(Di * Hz_prox)),
+            jnp.maximum(pmax(jnp.abs(Di * d.q)), pmax(jnp.abs(Di * Atyh))),
+        ) * cinv
         eps_dua = settings.eps_abs + settings.eps_rel * max_norm
         eps_dua_in = eps_abs_in + eps_rel_in * max_norm
 
         solved = (pri_norm < eps_pri) & (dua_norm < eps_dua)
-        subproblem_done = dua_norm <= eps_dua_in
+
+        # ---- infeasibility certificates (termination.c:136-240) ----------
+        dy_eq = yh_eq - y_eq
+        dy_box = yh_box - y_box
+        eps_pinf_norm = settings.eps_prim_inf * jnp.maximum(
+            pmax(jnp.abs(scal.Eeq * dy_eq)),
+            pmax(jnp.abs(scal.Ebox * dy_box)),
+        )
+        At_dy = Di * at_matvec(dy_eq, dy_box)
+        has_lb = d.lo > -C.QPALM_INFTY
+        has_ub = d.hi < C.QPALM_INFTY
+        oob = psum(d.beq * dy_eq) + psum(
+            jnp.where(has_ub, d.hi * jnp.maximum(dy_box, 0.0), 0.0)
+            + jnp.where(has_lb, d.lo * jnp.minimum(dy_box, 0.0), 0.0)
+        )
+        pinf = (
+            (eps_pinf_norm > 0)
+            & (pmax(jnp.abs(At_dy)) <= eps_pinf_norm)
+            & (oob <= -eps_pinf_norm)
+        )
+
+        dz = z - z_prev
+        Ddz = scal.D * dz
+        eps_dinf_norm = settings.eps_dual_inf * pmax(jnp.abs(Ddz))
+        dzdz = psum(Ddz * Ddz)
+        bound_violation = (
+            jax.lax.pmax(
+                jnp.max(
+                    jnp.where(jnp.abs(Eeqi * Ad_eq_t) >= eps_dinf_norm,
+                              1.0, 0.0)
+                ), axis,
+            ) > 0
+        ) | (
+            jax.lax.pmax(
+                jnp.max(
+                    jnp.where(has_ub & (Eboxi * Ad_box_t >= eps_dinf_norm),
+                              1.0, 0.0)
+                    + jnp.where(
+                        has_lb & (Eboxi * Ad_box_t <= -eps_dinf_norm),
+                        1.0, 0.0)
+                ), axis,
+            ) > 0
+        )
+        dzHdz = psum(dz * Hd_t)
+        e2 = settings.eps_dual_inf * settings.eps_dual_inf
+        curvature_ok = (dzHdz <= -cfac * e2 * dzdz) | (
+            (dzHdz <= cfac * e2 * dzdz)
+            & (psum(d.q * dz) <= -cfac * eps_dinf_norm)
+        )
+        dinf = (eps_dinf_norm > 0) & ~bound_violation & curvature_ok
+
+        subproblem_done = dua2_norm <= eps_dua_in
         outer_trigger = subproblem_done | (no_change == 3)
         exhausted = it == prev_it + settings.inner_max_iter
 
-        # active sets (equality rows are always active)
-        active_box = (Axys_box <= data.lo) | (Axys_box >= data.hi)
-        enter = psum((active_box & ~active_old).astype(jnp.int32)).astype(jnp.int32)
-        leave = psum((~active_box & active_old).astype(jnp.int32)).astype(jnp.int32)
+        active_box = (Axys_box <= d.lo) | (Axys_box >= d.hi)
+        enter_leave = psum(
+            (active_box != active_old).astype(jnp.int32)
+        ).astype(jnp.int32)
 
         # ---- the four branches, fused with where-selects ------------------
-        do_term = solved & ~done
-        do_outer = ~solved & outer_trigger & ~done
-        do_exh = ~solved & ~outer_trigger & exhausted & ~done
-        do_inner = ~solved & ~outer_trigger & ~exhausted & ~done
+        do_term = (solved | pinf | dinf) & ~done
+        live = ~done & ~do_term
+        do_outer = live & outer_trigger
+        do_exh = live & ~outer_trigger & exhausted
+        do_inner = live & ~outer_trigger & ~exhausted
+        do_sig = do_outer | do_exh
 
-        # outer / exhausted: sigma update + dual update (qpalm.c:515-660)
-        upd_sigma = (do_outer | do_exh) & (it_out > 0) & (pri_norm > eps_pri)
-        cond_eq = (jnp.abs(pri_eq) > settings.theta * jnp.abs(pri_in_eq))
+        # outer / exhausted: sigma update (iteration.c:86-145; the
+        # unscaled pri_res feeds the boost multiplier)
+        pn_uns = jnp.maximum(pmax(jnp.abs(pri_eq)), pmax(jnp.abs(pri_box)))
+        upd_sigma = do_sig & (it_out > 0) & (pri_norm > eps_pri)
+        cond_eq = jnp.abs(pri_eq) > settings.theta * jnp.abs(pri_in_eq)
         cond_box = (
-            (jnp.abs(pri_box) > settings.theta * jnp.abs(pri_in_box))
-            & active_box
-        )
+            jnp.abs(pri_box) > settings.theta * jnp.abs(pri_in_box)
+        ) & active_box
         mult_eq = jnp.maximum(
-            1.0, settings.delta * jnp.abs(pri_eq) / (pri_norm + 1e-6)
+            1.0, settings.delta * jnp.abs(pri_eq) / (pn_uns + 1e-6)
         )
         mult_box = jnp.maximum(
-            1.0, settings.delta * jnp.abs(pri_box) / (pri_norm + 1e-6)
+            1.0, settings.delta * jnp.abs(pri_box) / (pn_uns + 1e-6)
         )
         sig_eq_new = jnp.where(
             upd_sigma & cond_eq,
@@ -236,32 +465,77 @@ def _loop_body(data: MPCStageData, settings: Settings, nd: int, axis: str):
             jnp.maximum(settings.eps_rel, settings.rho * eps_rel_in),
             eps_rel_in,
         )
-        pri_in_eq_new = jnp.where(do_outer | do_exh, pri_eq, pri_in_eq)
-        pri_in_box_new = jnp.where(do_outer | do_exh, pri_box, pri_in_box)
-        it_out_new = jnp.where(do_outer | do_exh, it_out + 1, it_out)
-        prev_it_new = jnp.where(do_outer | do_exh, it, prev_it)
 
-        # inner: Newton via distributed SPIKE + gathered linesearch
+        # proximal: gamma step / settled-active-set boost (qpalm.c:612-630)
+        gamma_new = gamma
+        z_gam = jnp.zeros_like(z)  # Qx fixup handled implicitly (Hz fresh)
+        gmaxed_new = gamma_maxed
+        active_old_after = active_old
+        nbch_after = nb_changed
+        if prox:
+            check = do_outer & ~gamma_maxed & (it_out > 0) \
+                & (nb_changed == 0) & (pri_norm < eps_pri)
+            Axys2 = Abox + y_box_new / sig_box_new
+            act2 = (Axys2 <= d.lo) | (Axys2 >= d.hi)
+            nb2 = psum((act2 != active_old).astype(jnp.int32)).astype(
+                jnp.int32
+            )
+            nact2 = psum(act2.astype(jnp.int32)).astype(jnp.int32)
+            # equality rows are always active, so the active set counts
+            # them implicitly; their activity never changes
+            boost = check & (nb2 == 0)
+            boosted = jnp.where(
+                nact2 > 0,
+                jnp.maximum(
+                    settings.gamma_max, 1e14 / jnp.maximum(gersh_c, 1e-30)
+                ),
+                jnp.asarray(1e12, dtype),
+            )
+            stepped = jnp.where(
+                gamma < settings.gamma_max,
+                jnp.minimum(gamma * settings.gamma_upd, settings.gamma_max),
+                gamma,
+            )
+            gamma_new = jnp.where(
+                do_outer, jnp.where(boost, boosted, stepped),
+                jnp.where(do_exh, stepped, gamma),
+            )
+            gmaxed_new = gamma_maxed | (boost & (nact2 > 0))
+            active_old_after = jnp.where(check, act2, active_old)
+            nbch_after = jnp.where(check, jnp.minimum(nb2, 1), nb_changed)
+        z0_new = jnp.where(do_sig, z, z0) if prox else z0
+
+        pri_in_eq_new = jnp.where(do_sig, pri_eq, pri_in_eq)
+        pri_in_box_new = jnp.where(do_sig, pri_box, pri_in_box)
+        it_out_new = jnp.where(do_sig, it_out + 1, it_out)
+        prev_it_new = jnp.where(do_sig, it, prev_it)
+        no_change_after = jnp.where(do_sig, 0, no_change)
+
+        # ---- inner: Newton via distributed SPIKE + gathered linesearch ----
         sig_box_act = jnp.where(active_box, sig_box_new, 0.0)
-        D, E = assemble_blocks(sig_eq_new, sig_box_act)
-        d = spike_solve_local(D, E, -dphi, nd, axis)
+        Dblk, Eblk, gersh = assemble_blocks(
+            sig_eq_new, sig_box_act, gamma_new
+        )
+        neg_dphi = -dphi
+        dvec = spike_solve_local(Dblk, Eblk, neg_dphi, nd, axis)
 
-        Hd = h_matvec(d)
-        eta = psum(d * Hd)
-        beta = psum(d * df)
-        Ad_eq, Ad_box = a_matvec(d)
+        Hd = h_matvec(dvec)
+        Hd_prox = Hd + dvec / gamma_new if prox else Hd
+        eta = psum(dvec * Hd_prox)
+        beta = psum(dvec * df)
+        Ad_eq, Ad_box = a_matvec(dvec)
         sqrt_se = jnp.sqrt(sig_eq_new)
         sqrt_sb = jnp.sqrt(sig_box_new)
         s_ad = jnp.concatenate(
             [(sqrt_se * Ad_eq).ravel(), (sqrt_sb * Ad_box).ravel()]
         )
         alpha_lo = jnp.concatenate([
-            ((y_eq_new + sig_eq_new * (Aeq - data.beq)) / sqrt_se).ravel(),
-            ((y_box_new + sig_box_new * (Abox - data.lo)) / sqrt_sb).ravel(),
+            ((y_eq_new + sig_eq_new * (Aeq - d.beq)) / sqrt_se).ravel(),
+            ((y_box_new + sig_box_new * (Abox - d.lo)) / sqrt_sb).ravel(),
         ])
         alpha_hi = jnp.concatenate([
-            ((-y_eq_new + sig_eq_new * (data.beq - Aeq)) / sqrt_se).ravel(),
-            ((-y_box_new + sig_box_new * (data.hi - Abox)) / sqrt_sb).ravel(),
+            ((-y_eq_new + sig_eq_new * (d.beq - Aeq)) / sqrt_se).ravel(),
+            ((-y_box_new + sig_box_new * (d.hi - Abox)) / sqrt_sb).ravel(),
         ])
         delta_l = jnp.concatenate([-s_ad, s_ad])
         alpha_l = jnp.concatenate([alpha_lo, alpha_hi])
@@ -269,101 +543,236 @@ def _loop_body(data: MPCStageData, settings: Settings, nd: int, axis: str):
         alpha_g = jax.lax.all_gather(alpha_l, axis).ravel()
         tau = linesearch_from_breakpoints(eta, beta, delta_g, alpha_g)
 
-        z_new = jnp.where(do_inner, z + tau * d, z)
-        active_old_new = jnp.where(do_inner, active_box, active_old)
+        z_new = jnp.where(do_inner, z + tau * dvec, z)
+        z_prev_new = jnp.where(do_inner, z, z_prev)
+        Hd_t_new = jnp.where(do_inner, tau * Hd, Hd_t)
+        Ad_eq_t_new = jnp.where(do_inner, tau * Ad_eq, Ad_eq_t)
+        Ad_box_t_new = jnp.where(do_inner, tau * Ad_box, Ad_box_t)
+        gersh_new = jnp.where(do_inner, gersh, gersh_c)
+        active_old_new = jnp.where(do_inner, active_box, active_old_after)
+        nbch_new = jnp.where(
+            do_inner, jnp.minimum(enter_leave, 1), nbch_after
+        )
         no_change_new = jnp.where(
             do_inner,
-            jnp.where(nb_enter + nb_leave > 0, 0, no_change + 1),
-            jnp.where(do_outer | do_exh, 0, no_change),
+            jnp.where(enter_leave > 0, 0, no_change_after + 1),
+            no_change_after,
         )
-        nb_enter_new = jnp.where(do_inner, enter, nb_enter)
-        nb_leave_new = jnp.where(do_inner, leave, nb_leave)
+
+        # certificates captured at termination (store_solution semantics)
+        dz_eq_new = jnp.where(
+            do_term & pinf & ~solved, scal.Eeq * (dy_eq / cfac), dz_cert_eq
+        )
+        dz_box_new = jnp.where(
+            do_term & pinf & ~solved, scal.Ebox * (dy_box / cfac),
+            dz_cert_box,
+        )
+        dx_new = jnp.where(
+            do_term & dinf & ~solved & ~pinf, scal.D * dz, dx_cert
+        )
 
         done_new = done | do_term
         status_new = jnp.where(
-            do_term, jnp.asarray(C.QPALM_SOLVED, jnp.int32), status
+            do_term,
+            jnp.where(
+                solved, jnp.asarray(C.QPALM_SOLVED, jnp.int32),
+                jnp.where(
+                    pinf, jnp.asarray(C.QPALM_PRIMAL_INFEASIBLE, jnp.int32),
+                    jnp.asarray(C.QPALM_DUAL_INFEASIBLE, jnp.int32),
+                ),
+            ),
+            status,
         )
         it_new = jnp.where(done_new, it, it + 1)
 
-        return (z_new, y_eq_new, y_box_new, sig_eq_new, sig_box_new,
-                pri_in_eq_new, pri_in_box_new, eps_abs_in_new,
-                eps_rel_in_new, active_old_new, nb_enter_new, nb_leave_new,
-                no_change_new, it_new, it_out_new, prev_it_new, done_new,
-                status_new)
+        return (z_new, z0_new, z_prev_new, y_eq_new, y_box_new, sig_eq_new,
+                sig_box_new, pri_in_eq_new, pri_in_box_new, eps_abs_in_new,
+                eps_rel_in_new, active_old_new, gamma_new, gmaxed_new,
+                gersh_new, nbch_new, no_change_new, it_new, it_out_new,
+                prev_it_new, done_new, status_new, Hd_t_new, Ad_eq_t_new,
+                Ad_box_t_new, dz_eq_new, dz_box_new, dx_new, pri_norm,
+                dua_norm)
 
     return iteration
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "mesh", "axis"))
-def solve_mpc_stage_sharded(
+@functools.partial(
+    jax.jit, static_argnames=("settings", "mesh", "axis", "has_ws")
+)
+def _solve_impl(
     data: MPCStageData,
+    z_ws,
+    y_eq_ws,
+    y_box_ws,
     settings: Settings,
     mesh: Mesh,
-    axis: str = "stage",
+    axis: str,
+    has_ws: bool,
 ):
-    """Solve a stage-structured MPC QP with the horizon sharded over `mesh`.
-
-    Returns (z (S, nb) stage-sharded, status, iterations).  The horizon S
-    must be divisible by the mesh size.  See the module docstring for scope.
-    """
     nd = mesh.shape[axis]
     spec = P(axis)
     data_specs = MPCStageData(H=spec, q=spec, beq=spec, lo=spec, hi=spec,
                               Ad=P(), Bd=P())
 
-    def local(d: MPCStageData):
-        S_loc, nb = d.q.shape
-        nx = d.beq.shape[-1]
-        dtype = d.H.dtype
-        iteration = _loop_body(d, settings, nd, axis)
+    # scaling runs on globally-viewed arrays (XLA SPMD handles the halos)
+    if settings.scaling:
+        scaled, scal = scale_stage_data(data, settings.scaling)
+    else:
+        scaled, scal = identity_stage_scaling(data)
+    sc_specs = StageScaled(H=spec, q=spec, beq=spec, lo=spec, hi=spec,
+                           G=spec, Ap=spec, W=spec)
+    scl_specs = StageScaling(D=spec, Eeq=spec, Ebox=spec, c=P())
+
+    def local(dd: StageScaled, ss: StageScaling, zw, yew, ybw):
+        S_loc, nb = dd.q.shape
+        nx = dd.beq.shape[-1]
+        dtype = dd.H.dtype
+        iteration = _loop_body(dd, ss, settings, nd, axis)
 
         def psum(v):
             return jax.lax.psum(jnp.sum(v), axis)
 
-        # initialize_sigma (iteration.c:50-84) at z = 0: f = 0, dist from
-        # the zero iterate
-        dist2 = psum(d.beq * d.beq) + psum(
-            (jnp.clip(jnp.zeros((S_loc, nb), dtype), d.lo, d.hi)) ** 2
+        if has_ws:
+            z = zw * (1.0 / ss.D)
+            y_eq = yew * (1.0 / ss.Eeq) * (scal.c if settings.scaling
+                                           else 1.0)
+            y_box = ybw * (1.0 / ss.Ebox) * (scal.c if settings.scaling
+                                             else 1.0)
+        else:
+            z = jnp.zeros((S_loc, nb), dtype)
+            y_eq = jnp.zeros((S_loc, nx), dtype)
+            y_box = jnp.zeros((S_loc, nb), dtype)
+
+        # initialize_sigma (iteration.c:50-84)
+        def a_eq(zv):
+            z_last = jax.lax.ppermute(
+                zv[-1], axis, [(i, (i + 1) % nd) for i in range(nd)]
+            )
+            z_prev = jnp.concatenate(
+                [jnp.where(jax.lax.axis_index(axis) == 0,
+                           jnp.zeros_like(z_last), z_last)[None], zv[:-1]],
+                axis=0,
+            )
+            return jnp.einsum("sij,sj->si", dd.G, zv) - jnp.einsum(
+                "sij,sj->si", dd.Ap, z_prev
+            )
+
+        Aeq0 = a_eq(z)
+        Abox0 = dd.W * z
+        Hz0 = jnp.einsum("sij,sj->si", dd.H, z)
+        Hz0p = Hz0 + z / settings.gamma_init if settings.proximal else Hz0
+        f = 0.5 * psum(z * Hz0p) + psum(dd.q * z)
+        dist2 = psum((Aeq0 - dd.beq) ** 2) + psum(
+            (Abox0 - jnp.clip(Abox0, dd.lo, dd.hi)) ** 2
         )
         sig0 = jnp.clip(
-            settings.sigma_init / jnp.maximum(1.0, 0.5 * dist2), 1e-4, 1e4
+            settings.sigma_init * jnp.maximum(1.0, jnp.abs(f))
+            / jnp.maximum(1.0, 0.5 * dist2),
+            1e-4, 1e4,
         )
-        z = jnp.zeros((S_loc, nb), dtype)
+
         st = (
-            z,
-            jnp.zeros((S_loc, nx), dtype),       # y_eq
-            jnp.zeros((S_loc, nb), dtype),       # y_box
-            jnp.full((S_loc, nx), sig0, dtype),  # sig_eq
-            jnp.full((S_loc, nb), sig0, dtype),  # sig_box
-            jnp.zeros((S_loc, nx), dtype),       # pri_in_eq
-            jnp.zeros((S_loc, nb), dtype),       # pri_in_box
+            z,                                    # z
+            z,                                    # z0 (proximal center)
+            z,                                    # z_prev
+            y_eq, y_box,
+            jnp.full((S_loc, nx), sig0, dtype),   # sig_eq
+            jnp.full((S_loc, nb), sig0, dtype),   # sig_box
+            jnp.zeros((S_loc, nx), dtype),        # pri_in_eq
+            jnp.zeros((S_loc, nb), dtype),        # pri_in_box
             jnp.asarray(settings.eps_abs_in, dtype),
             jnp.asarray(settings.eps_rel_in, dtype),
-            jnp.zeros((S_loc, nb), bool),        # active_old
-            jnp.zeros((), jnp.int32),            # nb_enter
-            jnp.zeros((), jnp.int32),            # nb_leave
-            jnp.zeros((), jnp.int32),            # no_change
-            jnp.zeros((), jnp.int32),            # iter
-            jnp.zeros((), jnp.int32),            # iter_out
-            jnp.zeros((), jnp.int32),            # prev_iter
-            jnp.zeros((), bool),                 # done
+            jnp.zeros((S_loc, nb), bool),         # active_old
+            jnp.asarray(settings.gamma_init, dtype),  # gamma
+            jnp.zeros((), bool),                  # gamma_maxed
+            jnp.zeros((), dtype),                 # gersh cache
+            jnp.ones((), jnp.int32),              # nb_changed (unsettled)
+            jnp.zeros((), jnp.int32),             # no_change
+            jnp.zeros((), jnp.int32),             # iter
+            jnp.zeros((), jnp.int32),             # iter_out
+            jnp.zeros((), jnp.int32),             # prev_iter
+            jnp.zeros((), bool),                  # done
             jnp.asarray(C.QPALM_UNSOLVED, jnp.int32),
+            jnp.zeros((S_loc, nb), dtype),        # Hd_t
+            jnp.zeros((S_loc, nx), dtype),        # Ad_eq_t
+            jnp.zeros((S_loc, nb), dtype),        # Ad_box_t
+            jnp.zeros((S_loc, nx), dtype),        # delta_y_eq cert
+            jnp.zeros((S_loc, nb), dtype),        # delta_y_box cert
+            jnp.zeros((S_loc, nb), dtype),        # delta_z cert
+            jnp.zeros((), dtype),                 # pri_norm
+            jnp.zeros((), dtype),                 # dua_norm
         )
 
         def cond(st):
-            return (~st[16]) & (st[13] < settings.max_iter)
+            return (~st[20]) & (st[17] < settings.max_iter)
 
         final = jax.lax.while_loop(cond, iteration, st)
         status = jnp.where(
-            final[16], final[17],
+            final[20], final[21],
             jnp.asarray(C.QPALM_MAX_ITER_REACHED, jnp.int32),
         )
-        return final[0], status, final[13]
+        # unscale (termination.c:242-252); final multiplier estimate is yh,
+        # recomputed from the final iterate like store_solution
+        zf = final[0]
+        cinv = 1.0 / (scal.c if settings.scaling else jnp.ones((), dtype))
+        z_out = ss.D * zf
+        Aeqf = a_eq(zf)
+        Aboxf = dd.W * zf
+        yh_eq_f = final[3] + final[5] * (Aeqf - dd.beq)
+        yh_box_f = final[4] + final[6] * (
+            Aboxf - jnp.clip(Aboxf + final[4] / final[6], dd.lo, dd.hi)
+        )
+        y_eq_out = ss.Eeq * (cinv * yh_eq_f)
+        y_box_out = ss.Ebox * (cinv * yh_box_f)
+        return MPCResult(
+            z=z_out, y_eq=y_eq_out, y_box=y_box_out, status=status,
+            iterations=final[17], pri_res_norm=final[28],
+            dua_res_norm=final[29], delta_y_eq=final[25],
+            delta_y_box=final[26], delta_z=final[27],
+        )
 
+    ws_spec = spec
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(data_specs,),
-        out_specs=(spec, P(), P()),
+        in_specs=(sc_specs, scl_specs, ws_spec, ws_spec, ws_spec),
+        out_specs=MPCResult(
+            z=spec, y_eq=spec, y_box=spec, status=P(), iterations=P(),
+            pri_res_norm=P(), dua_res_norm=P(), delta_y_eq=spec,
+            delta_y_box=spec, delta_z=spec,
+        ),
         check_vma=False,
-    )(data)
+    )(scaled, scal, z_ws, y_eq_ws, y_box_ws)
+
+
+def solve_mpc_stage_sharded(
+    data: MPCStageData,
+    settings: Settings,
+    mesh: Mesh,
+    axis: str = "stage",
+    z0=None,
+    y_eq0=None,
+    y_box0=None,
+) -> MPCResult:
+    """Solve a stage-structured MPC QP with the horizon sharded over `mesh`.
+
+    Full solver-parity configuration support: proximal (incl. the gamma
+    boost), Ruiz scaling, warm starts (`z0`/`y_eq0`/`y_box0`, unscaled),
+    and primal/dual infeasibility certificates.  Returns an `MPCResult`
+    with stage-sharded solution/certificates and replicated scalars.  The
+    horizon S must be divisible by the mesh size.
+    """
+    S, nb = data.q.shape
+    nx = data.beq.shape[-1]
+    dtype = data.H.dtype
+    has_ws = z0 is not None or y_eq0 is not None or y_box0 is not None
+    zw = jnp.asarray(z0, dtype) if z0 is not None else jnp.zeros(
+        (S, nb), dtype
+    )
+    yew = jnp.asarray(y_eq0, dtype) if y_eq0 is not None else jnp.zeros(
+        (S, nx), dtype
+    )
+    ybw = jnp.asarray(y_box0, dtype) if y_box0 is not None else jnp.zeros(
+        (S, nb), dtype
+    )
+    return _solve_impl(data, zw, yew, ybw, settings, mesh, axis, has_ws)

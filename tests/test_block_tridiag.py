@@ -117,3 +117,46 @@ def test_mpc_schur_is_block_tridiagonal():
     x_sp = np.asarray(spike_solve(D, E, jnp.asarray(b.reshape(S, nb)),
                                   mesh, "stage"))
     np.testing.assert_allclose(x_sp, x_ref, atol=1e-8)
+
+
+def test_spike_cyclic_reduction_nd64():
+    """The cyclic-reduction interface solve must hold at nd=64 (the scale
+    the round-1 dense-QR interface could not reach).  Runs in a subprocess
+    with 64 virtual CPU devices so the main session keeps its 8."""
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+import jax.numpy as jnp
+from qpalm_tpu.parallel import default_mesh
+from qpalm_tpu.parallel.block_tridiag import spike_solve, thomas_solve
+
+S, nb = 128, 2
+rng = np.random.default_rng(0)
+D = np.zeros((S, nb, nb)); E = np.zeros((S, nb, nb))
+for k in range(S):
+    X = rng.standard_normal((nb, nb))
+    D[k] = X @ X.T + 5 * np.eye(nb)
+for k in range(S - 1):
+    E[k] = 0.5 * rng.standard_normal((nb, nb))
+b = rng.standard_normal((S, nb))
+mesh = default_mesh(64, axis_name='stage')
+x = np.asarray(spike_solve(jnp.asarray(D), jnp.asarray(E), jnp.asarray(b),
+                           mesh, 'stage'))
+x_ref = np.asarray(thomas_solve(jnp.asarray(D), jnp.asarray(E[:-1]),
+                                jnp.asarray(b)))
+err = np.abs(x - x_ref).max()
+assert err < 1e-8, err
+print('nd64 ok', err)
+"""
+    env = dict(
+        __import__("os").environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=64",
+        JAX_PLATFORMS="cpu",
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "nd64 ok" in r.stdout
