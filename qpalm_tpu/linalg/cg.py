@@ -31,13 +31,21 @@ def pcg(
 ):
     """Solve M x = b, M SPD, to ||r||_2 <= tol * max(||b||_2, tiny).
 
+    `diag_precond` is either the diagonal of M (Jacobi) or a callable
+    z = precond(r) applying a general SPD preconditioner (e.g. the
+    block-Jacobi factors from linalg.sparse.block_jacobi_apply).
+
     Returns (x, final residual norm, iterations).
     """
     dtype = b.dtype
-    Minv = 1.0 / jnp.maximum(diag_precond, 1e-30)
+    if callable(diag_precond):
+        apply_p = diag_precond
+    else:
+        Minv = 1.0 / jnp.maximum(diag_precond, 1e-30)
+        apply_p = lambda r: Minv * r
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x) if x0 is not None else b
-    z = Minv * r
+    z = apply_p(r)
     p = z
     rz = jnp.vdot(r, z)
     bnorm = jnp.sqrt(jnp.vdot(b, b))
@@ -53,7 +61,7 @@ def pcg(
         alpha = rz / jnp.vdot(p, Mp)
         x = x + alpha * p
         r = r - alpha * Mp
-        z = Minv * r
+        z = apply_p(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p

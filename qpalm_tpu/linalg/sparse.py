@@ -97,3 +97,63 @@ def ata_gershgorin_upper(A: BCOO, s: jnp.ndarray) -> jnp.ndarray:
     r = absA @ jnp.ones((A.shape[1],), A.data.dtype)  # |A| 1
     v = (absA.T @ (s * r))
     return jnp.max(v)
+
+
+def block_diagonals(Q, A, sig_act, gamma_inv, block: int):
+    """Stacked block diagonals of M = Q + A' diag(sig_act) A + gamma_inv I.
+
+    The block-Jacobi preconditioner's setup (no reference equivalent — the
+    reference factors the whole sparse matrix; this is the TPU-native
+    middle ground between diag(M) and a full factorization).  Works for
+    BCOO or dense Q/A: each block's columns are materialized with one
+    (sparse) matrix-times-selector product inside a `lax.scan` over blocks,
+    so the full matrix is never densified.
+
+    Returns (nblocks, block, block) with the tail block padded by identity
+    rows/columns when block does not divide n.
+    """
+    n = Q.shape[0]
+    nblocks = -(-n // block)
+    dtype = sig_act.dtype
+
+    def one(carry, b_idx):
+        cols = b_idx * block + jnp.arange(block)
+        valid = cols < n
+        cols_c = jnp.minimum(cols, n - 1)
+        Eb = (
+            jax.nn.one_hot(cols_c, n, dtype=dtype).T
+            * valid.astype(dtype)[None, :]
+        )  # (n, block) selector
+        AEb = A @ Eb                       # (m, block)
+        QEb = Q @ Eb                       # (n, block)
+        Qblk = Eb.T @ QEb                  # (block, block) rows of the block
+        G = AEb.T @ (sig_act[:, None] * AEb)
+        blk = Qblk + G + gamma_inv * jnp.eye(block, dtype=dtype)
+        # padded tail columns: identity so the factor stays SPD
+        pad = ~(valid[:, None] & valid[None, :])
+        eye = jnp.eye(block, dtype=dtype)
+        blk = jnp.where(pad, eye, blk)
+        return carry, blk
+
+    _, blocks = jax.lax.scan(one, 0, jnp.arange(nblocks))
+    return blocks
+
+
+def block_jacobi_apply(chol_blocks, r):
+    """Apply the factored block-Jacobi preconditioner to a vector.
+
+    chol_blocks: (nblocks, block, block) lower Cholesky factors of the
+    block diagonals; r: (n,).  Pads r to nblocks*block, solves per block
+    (batched triangular solves), and truncates back.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    nblocks, block, _ = chol_blocks.shape
+    n = r.shape[0]
+    rp = jnp.zeros((nblocks * block,), r.dtype).at[:n].set(r)
+    rb = rp.reshape(nblocks, block, 1)
+    y = solve_triangular(chol_blocks, rb, lower=True)
+    z = solve_triangular(
+        jnp.swapaxes(chol_blocks, -1, -2), y, lower=False
+    )
+    return z.reshape(-1)[:n]

@@ -457,6 +457,20 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
                     preferred_element_type=dtype,
                 )
             )
+        if settings.cg_precond == "block_jacobi":
+            # factored block diagonals of M: bounds CG iteration growth on
+            # ill-conditioned problems (VERDICT r1 item 4 — the middle
+            # ground between diag(M) and the reference's full sparse LDL',
+            # solver_interface.c:319-405)
+            from ..linalg.sparse import block_diagonals, block_jacobi_apply
+
+            blocks = block_diagonals(
+                data.Q, data.A, sig_act, gamma_inv, settings.cg_block
+            )
+            chol_blocks = jnp.linalg.cholesky(blocks)
+            precond = lambda r: block_jacobi_apply(chol_blocks, r)
+        else:
+            precond = diagM
         # inexact-Newton forcing: early outer iterations only need the
         # direction to the accuracy of the current inner tolerance, so the
         # CG tolerance loosens to (a fraction of) eps_dua_in relative to
@@ -468,7 +482,7 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
             1e-2,
         ).astype(dtype)
         d, _, _ = pcg(
-            matvec, neg_dphi, diagM,
+            matvec, neg_dphi, precond,
             tol=forcing,
             max_iter=settings.cg_max_iter,
         )

@@ -70,6 +70,12 @@ class Settings:
     # tolerance and iteration cap of the matrix-free inner solver
     cg_tol: float = C.CG_TOL
     cg_max_iter: int = C.CG_MAX_ITER
+    # CG preconditioner: "jacobi" (diag(M)) or "block_jacobi" (factored
+    # block diagonals of M, size cg_block — bounds CG iteration growth on
+    # ill-conditioned problems at O(n/b * nnz-slice) extra setup per
+    # Newton step)
+    cg_precond: str = "jacobi"
+    cg_block: int = 64
     # stage-structured Newton (FACTORIZE_STAGE): block size nb = nx + nu of
     # the stage-ordered MPC problem; n must be divisible by it
     stage_block: int = 0
