@@ -41,7 +41,8 @@ __version__ = "0.1.0"
 # submodules (imported lazily by attribute access is unnecessary — they are
 # lightweight): batch solving, workload generators, IO drivers,
 # multi-device distribution, checkpointing, reference-binding compat
-from . import batch, checkpoint, compat, diff, io, parallel, workloads  # noqa: E402
+from . import batch, checkpoint, compat, diff, host_sparse, io, parallel, workloads  # noqa: E402
+from .host_sparse import solve_sparse_direct  # noqa: E402
 
 __all__ = [
     "QPALM",
@@ -54,6 +55,8 @@ __all__ = [
     "io",
     "parallel",
     "workloads",
+    "host_sparse",
+    "solve_sparse_direct",
     "FACTORIZE_KKT",
     "FACTORIZE_SCHUR",
     "FACTORIZE_KKT_OR_SCHUR",

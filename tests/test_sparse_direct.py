@@ -1,0 +1,118 @@
+"""Native sparse LDL' backend + host-driven sparse-direct P-ALM solver.
+
+The direct path is the LADEL equivalence class (reference
+solver_interface.c:319-405): it must agree with the device solver
+iterate-for-iterate on shared problems and handle the ill-conditioned
+structured class the CG path cannot."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from qpalm_tpu import QPALM, Settings, constants as C
+from qpalm_tpu.host_sparse import solve_sparse_direct
+from qpalm_tpu.linalg import sparse_direct
+
+from helpers import kkt_check, random_convex_qp
+
+pytestmark = pytest.mark.skipif(
+    sparse_direct.load_library() is None,
+    reason="native LDL library unavailable",
+)
+
+
+def test_ldl_factor_solve_matches_dense():
+    rng = np.random.default_rng(0)
+    n = 200
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    M = (L @ L + 0.3 * sp.eye(n)).tocsc()
+    f = sparse_direct.SparseLDL(M)
+    f.factor(M, shift=0.5)
+    b = rng.standard_normal(n)
+    x = f.solve(b)
+    x_ref = np.linalg.solve(M.toarray() + 0.5 * np.eye(n), b)
+    assert np.abs(x - x_ref).max() < 1e-10
+    # numeric refactorization with a SUBSET pattern (scatter path)
+    M2 = (L @ L).tocsc()
+    f.factor(M2, shift=1.0)
+    x2 = f.solve(b)
+    x2_ref = np.linalg.solve(M2.toarray() + np.eye(n), b)
+    assert np.abs(x2 - x2_ref).max() < 1e-10
+
+
+@pytest.mark.parametrize("proximal,scaling", [
+    (True, 2), (False, 0), (True, 0), (False, 2),
+])
+def test_host_sparse_matches_device_solver(proximal, scaling):
+    Q, A, q, bl, bu = random_convex_qp(30, 45, seed=11, density=0.5)
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6, proximal=proximal,
+                 scaling=scaling, verbose=False)
+    r1 = solve_sparse_direct(sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu,
+                             s)
+    r2 = QPALM(Q=Q, A=A, q=q, bmin=bl, bmax=bu,
+               settings=s.replace(
+                   factorization_method=C.FACTORIZE_SCHUR)).solve()
+    assert r1.status == C.QPALM_SOLVED
+    # same algorithm, same data: identical iteration counts
+    assert r1.iterations == r2.info.iter
+    assert np.abs(r1.x - np.asarray(r2.solution.x)).max() < 1e-9
+    kkt_check(Q, A, q, bl, bu, r1.x, r1.y, tol=1e-5)
+
+
+def test_host_sparse_illconditioned_banded():
+    """Laplacian^2 Hessian (cond ~ 1e12 at this size): the class where the
+    CG path stalls; the direct path must solve it fast and accurately."""
+    rng = np.random.default_rng(1)
+    n, m = 1000, 400
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    Q = (L @ L + 1e-6 * sp.eye(n)).tocsc()
+    A = sp.diags([np.ones(m), 0.5 * np.ones(m)], [0, 1],
+                 shape=(m, n)).tocsc()
+    q = rng.standard_normal(n)
+    u = 1 + rng.random(m)
+    r = solve_sparse_direct(Q, A, q, -u, u, eps_abs=1e-6, eps_rel=1e-6,
+                            verbose=False)
+    assert r.status == C.QPALM_SOLVED
+    Ax = A @ r.x
+    assert np.maximum(Ax - u, 0).max() < 1e-5
+    assert np.maximum(-u - Ax, 0).max() < 1e-5
+    assert np.abs(Q @ r.x + q + A.T @ r.y).max() < 1e-4
+
+
+def test_host_sparse_infeasibility_certificates():
+    # primal infeasible
+    Q = sp.eye(1).tocsc()
+    A = sp.csc_matrix(np.array([[1.0], [1.0]]))
+    r = solve_sparse_direct(Q, A, np.zeros(1),
+                            np.array([1.0, -np.inf]),
+                            np.array([np.inf, 0.0]),
+                            eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    assert r.status == C.QPALM_PRIMAL_INFEASIBLE
+    assert r.delta_y is not None
+    assert np.abs(A.T @ r.delta_y).max() <= 1e-4 * np.abs(r.delta_y).max()
+
+    # dual infeasible
+    r2 = solve_sparse_direct(
+        sp.csc_matrix((1, 1)), sp.csc_matrix((1, 1)), np.array([-1.0]),
+        np.array([-np.inf]), np.array([np.inf]),
+        eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+    )
+    assert r2.status == C.QPALM_DUAL_INFEASIBLE
+    assert r2.delta_x is not None
+
+
+def test_host_sparse_warm_start():
+    Q, A, q, bl, bu = random_convex_qp(25, 40, seed=21)
+    s = Settings(eps_abs=1e-8, eps_rel=1e-8, verbose=False)
+    r = solve_sparse_direct(sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu, s)
+    assert r.status == C.QPALM_SOLVED
+    r2 = solve_sparse_direct(sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu,
+                             s, x0=r.x, y0=r.y)
+    assert r2.status == C.QPALM_SOLVED
+    assert r2.iterations < r.iterations
+    # warm-start parity with the device solver: identical iteration count
+    solver = QPALM(Q=Q, A=A, q=q, bmin=bl, bmax=bu, settings=s)
+    solver.warm_start(r.x, r.y)
+    assert r2.iterations == solver.solve().info.iter
