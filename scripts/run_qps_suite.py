@@ -41,6 +41,8 @@ def main(argv=None):
                     help="skip problems with more variables (dense memory)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--markdown", default=None,
+                    help="write the per-problem results table to this file")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,15 +111,50 @@ def main(argv=None):
             }
         print(f"bucket {key}: {len(idxs)} problems in {dt:.2f}s")
 
+    def expected_status(name):
+        """Infeasible instances encode their expected certificate status in
+        the name; for everything else 'correct' means solved."""
+        if name.startswith("PINF"):
+            return -3
+        if name.startswith("DINF"):
+            return -4
+        return 1
+
+    for r in results:
+        r["expected"] = expected_status(r["name"])
+        r["correct"] = r["status"] == r["expected"]
+    n_correct = sum(1 for r in results if r["correct"])
     n_solved = sum(1 for r in results if r["status"] == 1)
-    print(f"\n{'name':<16} {'n':>6} {'m':>7} {'status':>7} {'iter':>7} objective")
+    print(f"\n{'name':<16} {'n':>6} {'m':>7} {'status':>7} {'iter':>7} "
+          f"{'ok':>3} objective")
     for r in results:
         print(f"{r['name']:<16} {r['n']:>6} {r['m']:>7} {r['status']:>7} "
-              f"{r['iter']:>7} {r['objective']: .6e}")
+              f"{r['iter']:>7} {'y' if r['correct'] else 'N':>3} "
+              f"{r['objective']: .6e}")
     for name, why in skipped:
         print(f"{name:<16} SKIPPED ({why})")
-    print(f"\nsolved {n_solved}/{len(results)} "
-          f"(+{len(skipped)} skipped) in {t_total:.2f}s solve time")
+    print(f"\ncorrect {n_correct}/{len(results)} (solved {n_solved}, "
+          f"+{len(skipped)} skipped) in {t_total:.2f}s solve time")
+
+    if args.markdown:
+        with open(args.markdown, "w") as f:
+            f.write("# QPS suite results\n\n")
+            f.write(f"Protocol: eps_abs = eps_rel = {args.eps}, scaling 10, "
+                    f"max_iter 50000 (reference "
+                    f"test_maros_meszaros.m:43-47 / sample_settings.txt).\n"
+                    f"`expected` encodes the certificate status infeasible "
+                    f"instances must return.\n\n")
+            f.write("| name | n | m | status | expected | iter | objective "
+                    "| ok |\n|---|---|---|---|---|---|---|---|\n")
+            for r in results:
+                f.write(
+                    f"| {r['name']} | {r['n']} | {r['m']} | {r['status']} "
+                    f"| {r['expected']} | {r['iter']} "
+                    f"| {r['objective']:.6e} "
+                    f"| {'yes' if r['correct'] else 'NO'} |\n"
+                )
+            f.write(f"\n**correct {n_correct}/{len(results)}** in "
+                    f"{t_total:.2f}s total solve time.\n")
 
     if args.json:
         with open(args.json, "w") as f:

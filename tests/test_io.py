@@ -235,3 +235,33 @@ def test_cli(qps_file, capsys):
     out = capsys.readouterr().out
     assert "Status: solved" in out
     assert "TESTQP" in out
+
+
+def test_hard_suite_parses_and_stress_problems_solve():
+    """The committed hard suite (benchmarks/qps_hard): every file parses,
+    the old fixed-column files convert, and a stress instance from each
+    class solves / certifies correctly."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suite = os.path.join(root, "benchmarks", "qps_hard")
+    if not os.path.isdir(suite):
+        pytest.skip("hard suite not generated")
+    files = sorted(f for f in os.listdir(suite) if f.endswith(".qps"))
+    assert len(files) >= 30
+    probs = {}
+    for f in files:
+        p = load_qps(os.path.join(suite, f))
+        probs[f[:-4]] = p
+    # old-format conversion produced the right tiny QPs
+    assert probs["OLDFMT0"].n == 2 and probs["OLDFMT0"].m == 1
+    np.testing.assert_allclose(probs["OLDFMT1"].q, [-1.0, -1.0])
+
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    p = probs["ILLCOND0"]  # cond(Q) = 1e8
+    r = qpalm_tpu.solve(p.Q, p.A, p.q, p.bmin, p.bmax, settings=s)
+    assert r.info.status == "solved"
+    p = probs["PINF0"]
+    r = qpalm_tpu.solve(p.Q, p.A, p.q, p.bmin, p.bmax, settings=s)
+    assert r.info.status == "primal infeasible"
+    p = probs["DINF0"]
+    r = qpalm_tpu.solve(p.Q, p.A, p.q, p.bmin, p.bmax, settings=s)
+    assert r.info.status == "dual infeasible"
