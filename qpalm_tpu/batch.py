@@ -46,6 +46,11 @@ class BatchResult(NamedTuple):
     def solved(self) -> jnp.ndarray:
         return self.status == C.QPALM_SOLVED
 
+    def iteration_histogram(self, bins=10):
+        """Per-lane iteration histogram (counts, edges) — the lockstep-
+        straggler diagnostic (VERDICT r1 item 8)."""
+        return np.histogram(np.asarray(self.iterations), bins=bins)
+
 
 # in_axes template: every QPData leaf carries a leading batch axis,
 # including the scalar objective constant (it is per-problem)
@@ -91,6 +96,77 @@ def solve_batch_jit(
     return jax.vmap(
         _solve_one, in_axes=(_DATA_AXES, 0, 0, 0, None, None, None)
     )(data, x_ws, y_ws, gamma, settings, has_ws, has_gamma)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "has_ws"))
+def _batch_init(data, x_ws, y_ws, settings, has_ws):
+    from .api import _setup_and_init
+
+    settings = settings.replace(verbose=False)
+
+    def one(d, xw, yw):
+        return _setup_and_init(d, xw, yw, settings, has_ws, has_ws)
+
+    return jax.vmap(one, in_axes=(_DATA_AXES, 0, 0))(data, x_ws, y_ws)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _batch_chunk(sts, sdata, scals, settings, limit):
+    from .solver.core import solve_from_state
+
+    def one(st, d, sc):
+        return solve_from_state(st, d, sc, settings, max_iter=limit)
+
+    return jax.vmap(one, in_axes=(0, _DATA_AXES, 0))(sts, sdata, scals)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _batch_finalize(final, sdata, scals, settings):
+    from .solver.core import compute_objective
+
+    def one(f, d, sc):
+        return BatchResult(
+            x=sc.D * f.x,
+            y=sc.E * (sc.cinv * f.yh),
+            status=f.status,
+            iterations=f.iter,
+            objective=compute_objective(f, d, sc, settings),
+            pri_res_norm=f.pri_res_norm,
+            dua_res_norm=f.dua_res_norm,
+        )
+
+    return jax.vmap(one, in_axes=(0, _DATA_AXES, 0))(final, sdata, scals)
+
+
+def _solve_batch_time_limited(data, x_ws, y_ws, settings, has_ws):
+    """Host-chunked batch solve enforcing settings.time_limit wall-clock
+    (the batch analogue of the single-QP chunking, reference
+    qpalm.c:680-708): run max-iteration chunks, checking the clock between
+    dispatches; unfinished lanes get QPALM_TIME_LIMIT_REACHED."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    sts, sdata, scals = _batch_init(data, x_ws, y_ws, settings, has_ws)
+    chunk = max(1, min(200, settings.max_iter))
+    limit = chunk
+    while True:
+        sts = _batch_chunk(
+            sts, sdata, scals, settings, jnp.asarray(limit, jnp.int32)
+        )
+        done = np.asarray(sts.done)
+        if done.all() or limit >= settings.max_iter:
+            break
+        if _time.perf_counter() - t0 > settings.time_limit:
+            sts = sts._replace(
+                status=jnp.where(
+                    sts.done, sts.status,
+                    jnp.asarray(C.QPALM_TIME_LIMIT_REACHED, jnp.int32),
+                ),
+                done=jnp.ones_like(sts.done),
+            )
+            break
+        limit = min(limit + chunk, settings.max_iter)
+    return _batch_finalize(sts, sdata, scals, settings)
 
 
 def stack_problems(
@@ -187,6 +263,11 @@ def solve_batch(
                 ys[i, :mi] = np.asarray(y0[i], float).ravel()
         x_ws = jnp.asarray(xs)
         y_ws = jnp.asarray(ys)
+
+    if settings.time_limit < C.QPALM_INFTY and not settings.nonconvex:
+        return _solve_batch_time_limited(
+            data, x_ws, y_ws, settings.replace(verbose=False), has_ws
+        )
 
     gamma = jnp.full((B,), settings.gamma_init, dtype)
     if settings.nonconvex:

