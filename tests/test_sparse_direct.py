@@ -116,3 +116,33 @@ def test_host_sparse_warm_start():
     solver = QPALM(Q=Q, A=A, q=q, bmin=bl, bmax=bu, settings=s)
     solver.warm_start(r.x, r.y)
     assert r2.iterations == solver.solve().info.iter
+
+
+def test_sparse_auto_selector():
+    """solve_sparse_auto routes by estimated LDL' fill: banded patterns go
+    direct, random-sparsity Gram fill goes to the CG path (the sparse
+    analogue of the reference's KKT-vs-Schur nnz selector,
+    solver_interface.c:20-75)."""
+    from qpalm_tpu import solve_sparse_auto
+
+    rng = np.random.default_rng(0)
+    n, m = 300, 120
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    Q = (L @ L + 1e-6 * sp.eye(n)).tocsc()
+    A = sp.diags([np.ones(m), 0.5 * np.ones(m)], [0, 1],
+                 shape=(m, n)).tocsc()
+    u = 1 + rng.random(m)
+    r = solve_sparse_auto(Q, A, rng.standard_normal(n), -u, u,
+                          eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    assert r.status == C.QPALM_SOLVED
+
+    n2, m2 = 400, 500
+    Qr = sp.random(n2, n2, density=0.005, random_state=2)
+    Qr = (Qr @ Qr.T + 2 * sp.eye(n2)).tocsc()
+    Ar = (sp.random(m2, n2, density=0.005, random_state=3)
+          + 0.5 * sp.eye(m2, n2)).tocsc()
+    ur = 1 + rng.random(m2)
+    r2 = solve_sparse_auto(Qr, Ar, rng.standard_normal(n2), -ur, ur,
+                           eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    assert r2.status == C.QPALM_SOLVED
