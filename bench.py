@@ -142,8 +142,9 @@ def main():
     def host_polish(k, res):
         """Two-stage polish: one cheap round for the whole batch, then a
         fixed-size rounds=3 retry on the (few) lanes that failed it."""
-        x32 = np.asarray(res[0])
-        y32 = np.asarray(res[1])
+        # one device_get for both arrays: each np.asarray on a TPU-resident
+        # array is a separate tunnel round-trip
+        x32, y32 = jax.device_get((res[0], res[1]))
         with jax.default_device(cpu):
             pol = polish_batch(
                 datas64[k], x32, y32,
