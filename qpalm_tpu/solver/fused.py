@@ -18,14 +18,13 @@ arithmetic at VPU speed.  This kernel runs T solver iterations per
     dispatch, no HBM round-trips for state.
 
 Semantics: identical to solver/core.py (reference src/qpalm.c:484-711) for
-the configuration the batch bench uses — SCHUR factorization, convex,
-proximal, any scaling (Ruiz runs outside; the kernel gets per-lane
-Dinv/Einv/cinv for the termination norms).  Out of scope (lanes fall back
-to the general solver): nonconvex gamma pinning, infeasibility
-certificates (an infeasible lane simply fails to converge here and is
-re-solved by the general path), dual-objective termination, KKT/CG/STAGE
-modes.  `solve_batch_fused` wires the kernel into the stacked-batch flow
-with cold or warm starts.
+the SCHUR/convex configuration — proximal, any scaling (Ruiz runs outside;
+the kernel gets per-lane Dinv/Einv/cinv for the termination norms), warm
+starts, and BOTH infeasibility certificates computed in-kernel
+(termination.c:136-240) with the Farkas vectors returned per lane.  Out of
+scope (use the general solver): nonconvex gamma pinning, dual-objective
+termination, KKT/CG/STAGE modes.  `solve_batch_fused` wires the kernel
+into the stacked-batch flow.
 
 Reference anchors: iteration math src/iteration.c:24-229, termination
 src/termination.c:44-129, Newton src/newton.c:96-113 (Schur path),
@@ -51,13 +50,16 @@ LANES = 128  # problems per kernel program (= VPU lane width)
 # scalar-state rows (SC ref layout, one row per per-lane scalar)
 _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _GAMMA_MAXED, _ITER_OUT, _GERSH, _NB_CHANGED, _PRI_NORM, _DUA_NORM, \
-    _SC_ROWS = range(14)
+    _STATUS, _SC_ROWS = range(15)
 
 
 def _make_kernel(n: int, m: int, T: int, s: Settings):
     """Build the kernel body for static (n, m, chunk length, settings)."""
     eps_abs = float(s.eps_abs)
     eps_rel = float(s.eps_rel)
+    eps_pinf = float(s.eps_prim_inf)
+    eps_dinf = float(s.eps_dual_inf)
+    scaling_on = bool(s.scaling)
     rho = float(s.rho)
     theta = float(s.theta)
     delta = float(s.delta)
@@ -76,8 +78,11 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
     def kernel(Q_ref, A_ref, q_ref, bmin_ref, bmax_ref, Dinv_ref, Einv_ref,
                cinv_ref,
                _xi, _x0i, _Qxi, _yi, _Axi, _sigi, _prini, _actoldi, _sci,
+               _atyi, _xpi, _tqdi, _tadi, _tdi,
                x_ref, x0_ref, Qx_ref, y_ref, Ax_ref, sig_ref, prin_ref,
                actold_ref, sc_ref,
+               aty_ref, xprev_ref, tqd_ref, tad_ref, td_ref,
+               certy_ref, certx_ref,
                M_s, d_s, yh_s, w_s, Qd_s, Ad_s):
         # the state inputs alias the state outputs buffer-for-buffer
         # (input_output_aliases below), so the kernel reads and writes
@@ -323,12 +328,65 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             eps_dua_in = sc[_EPSA_IN][None] + sc[_EPSR_IN][None] * max_norm
 
             solved = (pri_norm < eps_pri) & (dua_norm < eps_dua) & ~done
+
+            # ---- infeasibility certificates (termination.c:136-240) ----
+            # initialize the certificate outputs once (out refs are
+            # undefined before the first write)
+            @pl.when(t == 0)
+            def _init_certs():
+                certy_ref[:] = jnp.zeros((m, LANES), jnp.float32)
+                certx_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+
+            Ev = 1.0 / Einv
+            Dv = 1.0 / Dinv
+            cfac = 1.0 / cinv
+            dy = yh - y
+            eps_p = eps_pinf * jnp.max(jnp.abs(Ev * dy), axis=0,
+                                       keepdims=True)
+            At_dy = Dinv * (Atyh - aty_ref[:])
+            has_ub = bmax < Ev * jnp.float32(C.QPALM_INFTY)
+            has_lb = bmin > -Ev * jnp.float32(C.QPALM_INFTY)
+            oob = jnp.sum(
+                jnp.where(has_ub, bmax * jnp.maximum(dy, 0.0), 0.0)
+                + jnp.where(has_lb, bmin * jnp.minimum(dy, 0.0), 0.0),
+                axis=0, keepdims=True,
+            )
+            pinf = (
+                (eps_p > 0)
+                & (jnp.max(jnp.abs(At_dy), axis=0, keepdims=True) <= eps_p)
+                & (oob <= -eps_p)
+                & ~done & ~solved
+            )
+
+            dx = x - xprev_ref[:]
+            Ddx = Dv * dx
+            eps_d = eps_dinf * jnp.max(jnp.abs(Ddx), axis=0, keepdims=True)
+            dxdx = jnp.sum(Ddx * Ddx, axis=0, keepdims=True)
+            A_dx = Einv * tad_ref[:]
+            viol = jnp.max(
+                jnp.where(has_ub & (A_dx >= eps_d), 1.0, 0.0)
+                + jnp.where(has_lb & (A_dx <= -eps_d), 1.0, 0.0),
+                axis=0, keepdims=True,
+            ) > 0.5
+            dxQdx = jnp.sum(dx * tqd_ref[:], axis=0, keepdims=True)
+            e2 = jnp.float32(eps_dinf * eps_dinf)
+            cs = cfac if scaling_on else jnp.ones_like(cfac)
+            qdx = jnp.sum(q * dx, axis=0, keepdims=True)
+            curv = (dxQdx <= -cs * e2 * dxdx) | (
+                (dxQdx <= cs * e2 * dxdx) & (qdx <= -cs * eps_d)
+            )
+            dinf = (eps_d > 0) & ~viol & curv & ~done & ~solved & ~pinf
+
+            do_term = solved | pinf | dinf
+            certy_ref[:] = jnp.where(pinf, Ev * (cinv * dy), certy_ref[:])
+            certx_ref[:] = jnp.where(dinf, Dv * dx, certx_ref[:])
+
             subproblem_done = dua2_norm <= eps_dua_in
             outer_trigger = subproblem_done | (sc[_NO_CHANGE][None] >= 3)
             exhausted = sc[_ITER][None] == (
                 sc[_PREV_ITER][None] + inner_max_iter
             )
-            live = ~done & ~solved & (sc[_ITER][None] < max_iter)
+            live = ~done & ~do_term & (sc[_ITER][None] < max_iter)
             b_outer = live & outer_trigger
             b_exh = live & ~outer_trigger & exhausted
             b_inner = live & ~outer_trigger & ~exhausted
@@ -441,8 +499,9 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
 
             # Qd = Q d (+ d/gamma), Ad = A d
             matvec_Q(d_s, Qd_s)
+            Qd_pure = Qd_s[:]
             if proximal:
-                Qd_s[:] = Qd_s[:] + d_s[:] / gamma_new
+                Qd_s[:] = Qd_pure + d_s[:] / gamma_new
             matvec_A(d_s, Ad_s)
             d = d_s[:]
             Qd = Qd_s[:]
@@ -461,10 +520,28 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             sig_ref[:] = jnp.where(b_sig, sig_new, sig)
             prin_ref[:] = prin_new
             actold_ref[:] = actold_new
+            # certificate state: the pure tau*Qd / tau*Ad / tau*d and the
+            # previous iterate of the last inner step (termination.c:184-240
+            # reads them on the NEXT iteration's dual-infeasibility test)
+            aty_ref[:] = jnp.where(b_outer, Atyh, aty_ref[:])
+            xprev_ref[:] = jnp.where(b_inner, x, xprev_ref[:])
+            tqd_ref[:] = jnp.where(b_inner, tau * Qd_pure, tqd_ref[:])
+            tad_ref[:] = jnp.where(b_inner, tau * Ad, tad_ref[:])
+            td_ref[:] = jnp.where(b_inner, tau * d, td_ref[:])
 
             # ---- scalar state (solved lanes stop counting: the reference
             # for-loop does not advance iter on the terminating trip) ----
-            done_new = (done | solved).astype(jnp.float32)
+            done_new = (done | do_term).astype(jnp.float32)
+            status_new = jnp.where(
+                solved, jnp.float32(C.QPALM_SOLVED),
+                jnp.where(
+                    pinf, jnp.float32(C.QPALM_PRIMAL_INFEASIBLE),
+                    jnp.where(
+                        dinf, jnp.float32(C.QPALM_DUAL_INFEASIBLE),
+                        sc[_STATUS][None],
+                    ),
+                ),
+            )
             iter_new = sc[_ITER][None] + live.astype(jnp.float32)
             for row_idx, val in (
                 (_GAMMA, gamma_new),
@@ -481,6 +558,7 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 (_NB_CHANGED, nbch_final),
                 (_PRI_NORM, pri_norm),
                 (_DUA_NORM, dua_norm),
+                (_STATUS, status_new),
             ):
                 sc_ref[pl.ds(row_idx, 1), :] = val
 
@@ -501,6 +579,13 @@ class FusedState(NamedTuple):
     pri_res_in: jnp.ndarray  # (m, B)
     act_old: jnp.ndarray  # (m, B) 0/1 mask
     sc: jnp.ndarray       # (_SC_ROWS, B) per-lane scalars
+    aty: jnp.ndarray      # (n, B) A'y (refreshed at outer updates)
+    x_prev: jnp.ndarray   # (n, B) previous inner iterate
+    tqd: jnp.ndarray      # (n, B) tau * Q d (pure) of the last inner step
+    tad: jnp.ndarray      # (m, B) tau * A d
+    td: jnp.ndarray       # (n, B) tau * d
+    cert_y: jnp.ndarray   # (m, B) primal-infeasibility certificate
+    cert_x: jnp.ndarray   # (n, B) dual-infeasibility certificate
 
 
 @functools.partial(jax.jit, static_argnames=("T", "settings", "interpret"))
@@ -530,10 +615,13 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         spec(n), spec(m), spec(1),
         spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
         spec(m), spec(_SC_ROWS),
+        spec(n), spec(n), spec(n), spec(m), spec(n),
     ]
     out_specs = tuple(
         [spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
-         spec(m), spec(_SC_ROWS)]
+         spec(m), spec(_SC_ROWS),
+         spec(n), spec(n), spec(n), spec(m), spec(n),
+         spec(m), spec(n)]
     )
 
     def one_block(args):
@@ -544,7 +632,10 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         is compiled once and reused)."""
         out_shape = tuple(
             jax.ShapeDtypeStruct(args[k].shape, jnp.float32)
-            for k in range(8, 17)
+            for k in range(8, 22)
+        ) + (
+            jax.ShapeDtypeStruct(args[12].shape, jnp.float32),  # cert_y (m,)
+            jax.ShapeDtypeStruct(args[8].shape, jnp.float32),   # cert_x (n,)
         )
         return pl.pallas_call(
             kernel,
@@ -560,7 +651,8 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
                 pltpu.VMEM((m, LANES), jnp.float32),      # Ad_s
             ],
             input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
-                                  14: 6, 15: 7, 16: 8},
+                                  14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
+                                  19: 11, 20: 12, 21: 13},
             interpret=interpret,
         )(*args)
 
@@ -576,11 +668,13 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
                 st.y[..., sl], st.Ax[..., sl], st.sigma[..., sl],
                 st.pri_res_in[..., sl], st.act_old[..., sl],
                 st.sc[..., sl],
+                st.aty[..., sl], st.x_prev[..., sl], st.tqd[..., sl],
+                st.tad[..., sl], st.td[..., sl],
             )
             blocks.append(one_block(args))
         outs = [
             jnp.concatenate([b[k] for b in blocks], axis=-1)
-            for k in range(9)
+            for k in range(16)
         ]
     return FusedState(*outs)
 
@@ -618,11 +712,21 @@ def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None):
     sc = sc.at[_GAMMA].set(settings.gamma_init)
     sc = sc.at[_EPSA_IN].set(settings.eps_abs_in)
     sc = sc.at[_EPSR_IN].set(settings.eps_rel_in)
+    sc = sc.at[_STATUS].set(float(C.QPALM_UNSOLVED))
     return FusedState(
         x=x, x0=x, Qx=Qx, y=y, Ax=Ax, sigma=sigma,
         pri_res_in=jnp.zeros((m, B), f32),
         act_old=jnp.zeros((m, B), f32),
         sc=sc,
+        # Aty starts at zero exactly like core.init_state (the first outer
+        # update refreshes it); certificate scratch starts empty
+        aty=jnp.zeros((n, B), f32),
+        x_prev=x,
+        tqd=jnp.zeros((n, B), f32),
+        tad=jnp.zeros((m, B), f32),
+        td=jnp.zeros((n, B), f32),
+        cert_y=jnp.zeros((m, B), f32),
+        cert_x=jnp.zeros((n, B), f32),
     )
 
 
@@ -673,13 +777,17 @@ def _finish(data_t, scal, st: FusedState):
     cinv_l = tr(scal.cinv)[None]
     x_sol = jnp.moveaxis(D * st.x, -1, 0)
     y_sol = jnp.moveaxis(E * (cinv_l * yh), -1, 0)
-    solved = st.sc[_DONE] > 0.5
+    done = st.sc[_DONE] > 0.5
     status = jnp.where(
-        solved, C.QPALM_SOLVED, C.QPALM_MAX_ITER_REACHED
-    ).astype(jnp.int32)
+        done, st.sc[_STATUS].astype(jnp.int32),
+        jnp.asarray(C.QPALM_MAX_ITER_REACHED, jnp.int32),
+    )
+    # certificate vectors are already unscaled by the kernel
+    delta_y = jnp.moveaxis(st.cert_y, -1, 0)
+    delta_x = jnp.moveaxis(st.cert_x, -1, 0)
     return (
         x_sol, y_sol, status, st.sc[_ITER].astype(jnp.int32),
-        st.sc[_PRI_NORM], st.sc[_DUA_NORM],
+        st.sc[_PRI_NORM], st.sc[_DUA_NORM], delta_y, delta_x,
     )
 
 

@@ -44,8 +44,8 @@ def test_fused_matches_general_solver(scaling):
     s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
                  scaling=scaling, max_refine=0, delta=10.0)
     data = stack_problems(probs, np.float32)
-    x, y, status, iters, prn, dan = solve_batch_fused(data, s,
-                                                      interpret=True)
+    x, y, status, iters, prn, dan, _, _ = solve_batch_fused(
+        data, s, interpret=True)
     ref = _general(data, s)
     assert np.array_equal(np.asarray(status), np.asarray(ref.status))
     assert np.array_equal(np.asarray(iters), np.asarray(ref.iterations))
@@ -62,13 +62,14 @@ def test_fused_warm_start_matches_general():
     s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
                  scaling=2, max_refine=0, delta=10.0)
     data = stack_problems(probs, np.float32)
-    x, y, status, iters, _, _ = solve_batch_fused(data, s, interpret=True)
+    x, y, status, iters, _, _, _, _ = solve_batch_fused(data, s,
+                                                        interpret=True)
     assert np.all(np.asarray(status) == C.QPALM_SOLVED)
     # warm-started resolve: must track the general solver exactly (at f32 /
     # 1e-4 a fresh residual check near the tolerance boundary legitimately
     # takes a few polish iterations; the parity claim is that the fused
     # path does precisely what the general path does)
-    x2, y2, status2, iters2, _, _ = solve_batch_fused(
+    x2, y2, status2, iters2, _, _, _, _ = solve_batch_fused(
         data, s, x_ws=np.asarray(x), y_ws=np.asarray(y), interpret=True
     )
     ref = _general(data, s, x0=np.asarray(x), y0=np.asarray(y))
@@ -87,7 +88,8 @@ def test_fused_max_iter_status():
     s = Settings(dtype="float32", eps_abs=1e-12, eps_rel=0.0, max_iter=7,
                  scaling=2, max_refine=0, delta=10.0)
     data = stack_problems(probs, np.float32)
-    _, _, status, iters, _, _ = solve_batch_fused(data, s, interpret=True)
+    _, _, status, iters, _, _, _, _ = solve_batch_fused(data, s,
+                                                        interpret=True)
     assert np.all(np.asarray(status) == C.QPALM_MAX_ITER_REACHED)
     assert np.all(np.asarray(iters) == 7)
 
@@ -105,3 +107,39 @@ def test_fused_chunked_equals_single_call():
     # eagerly — XLA fuses the scaling slightly differently, so solutions
     # agree to f32 fp noise, not bitwise
     assert np.max(np.abs(np.asarray(a[0]) - np.asarray(b[0]))) < 1e-5
+
+
+def test_fused_infeasibility_certificates():
+    """The kernel detects primal/dual infeasibility in-kernel and returns
+    the Farkas certificates (reference termination.c:136-240)."""
+    # LANES lanes: lane 0 primal-infeasible, lane 1 dual-infeasible,
+    # the rest ordinary solvable QPs
+    probs = _probs(55, 6, 8, LANES)
+    n, m = 6, 8
+    A_p = np.zeros((m, n)); A_p[0, 0] = 1.0; A_p[1, 0] = 1.0
+    bl_p = np.full(m, -20.0); bu_p = np.full(m, 20.0)
+    bl_p[0], bu_p[0] = 1.0, 30.0   # x0 >= 1
+    bl_p[1], bu_p[1] = -30.0, 0.0  # x0 <= 0
+    probs[0] = (np.eye(n), A_p, np.zeros(n), bl_p, bu_p)
+    probs[1] = (np.zeros((n, n)), np.zeros((m, n)), -np.ones(n),
+                np.full(m, -np.inf), np.full(m, np.inf))
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=150,
+                 scaling=2, max_refine=0, delta=10.0)
+    data = stack_problems(probs, np.float32)
+    x, y, status, iters, _, _, dy, dx = solve_batch_fused(data, s,
+                                                          interpret=True)
+    st = np.asarray(status)
+    assert st[0] == C.QPALM_PRIMAL_INFEASIBLE, st[0]
+    assert st[1] == C.QPALM_DUAL_INFEASIBLE, st[1]
+    assert np.all(st[2:] == C.QPALM_SOLVED)
+    # Farkas conditions on the returned certificates
+    dy0 = np.asarray(dy)[0][:m]
+    assert np.abs(dy0).max() > 0
+    assert np.abs(A_p.T @ dy0).max() <= 1e-3 * np.abs(dy0).max()
+    dx1 = np.asarray(dx)[1][:n]
+    assert np.abs(dx1).max() > 0
+    assert float(-np.ones(n) @ dx1) < 0  # descent direction
+
+    # the general solver agrees lane-for-lane
+    ref = _general(data, s)
+    assert np.array_equal(st, np.asarray(ref.status))
