@@ -138,6 +138,37 @@ def _batch_finalize(final, sdata, scals, settings):
     return jax.vmap(one, in_axes=(0, _DATA_AXES, 0))(final, sdata, scals)
 
 
+def _fused_eligible(settings: Settings, B: int, n_pad: int,
+                    m_pad: int) -> bool:
+    """Route a batch solve through the fused Pallas kernel?  Only on a real
+    TPU backend, f32, SCHUR-class convex configuration, 128-lane-aligned
+    batch, and VMEM-fitting shapes (Q + A + M scratch + state per block
+    under ~11 MB).  `Settings.use_fused` overrides ("never"/"always")."""
+    from .solver.fused import LANES
+
+    if settings.use_fused == "never":
+        return False
+    eligible = (
+        settings.dtype == "float32"
+        and settings.factorization_method in (
+            C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR
+        )
+        and not settings.nonconvex
+        and not settings.enable_dual_termination
+        and settings.time_limit >= C.QPALM_INFTY
+        and settings.max_refine == 0
+        and settings.unroll == 1
+        and B % LANES == 0
+        and (2 * n_pad * n_pad + n_pad * m_pad) * LANES * 4 <= 11 * 2**20
+    )
+    if settings.use_fused == "always":
+        if not eligible:
+            raise ValueError("use_fused='always' but the configuration is "
+                             "not fused-kernel eligible")
+        return jax.default_backend() == "tpu"
+    return eligible and jax.default_backend() == "tpu"
+
+
 def _solve_batch_time_limited(data, x_ws, y_ws, settings, has_ws):
     """Host-chunked batch solve enforcing settings.time_limit wall-clock
     (the batch analogue of the single-QP chunking, reference
@@ -263,6 +294,23 @@ def solve_batch(
                 ys[i, :mi] = np.asarray(y0[i], float).ravel()
         x_ws = jnp.asarray(xs)
         y_ws = jnp.asarray(ys)
+
+    if _fused_eligible(settings, B, n_pad, m_pad):
+        from .solver.fused import solve_batch_fused
+
+        x, y, status, iters, prn, dan, _, _ = solve_batch_fused(
+            data, settings.replace(verbose=False),
+            x_ws=x_ws if has_ws else None,
+            y_ws=y_ws if has_ws else None,
+        )
+        obj = jax.vmap(
+            lambda d, xx: 0.5 * jnp.vdot(xx, d.Q @ xx) + jnp.vdot(d.q, xx)
+            + d.c,
+            in_axes=(_DATA_AXES, 0),
+        )(data, x)
+        return BatchResult(x=x, y=y, status=status, iterations=iters,
+                           objective=obj, pri_res_norm=prn,
+                           dua_res_norm=dan)
 
     if settings.time_limit < C.QPALM_INFTY and not settings.nonconvex:
         return _solve_batch_time_limited(

@@ -79,6 +79,11 @@ class Settings:
     # stage-structured Newton (FACTORIZE_STAGE): block size nb = nx + nu of
     # the stage-ordered MPC problem; n must be divisible by it
     stage_block: int = 0
+    # fused Pallas solve kernel routing for batch solves on TPU:
+    # "auto" uses it when the configuration/shapes are eligible (f32,
+    # SCHUR/AUTO, convex, batch a multiple of 128 lanes, VMEM-fitting);
+    # "never" keeps the general vmapped loop; "always" asserts eligibility
+    use_fused: str = "auto"
     # solver iterations per while_loop trip (device-loop iterations carry a
     # fixed dispatch overhead on tunneled TPU runtimes — ~1.2ms measured —
     # so unrolling K iterations per trip amortizes it; finished lanes hit

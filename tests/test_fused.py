@@ -143,3 +143,29 @@ def test_fused_infeasibility_certificates():
     # the general solver agrees lane-for-lane
     ref = _general(data, s)
     assert np.array_equal(st, np.asarray(ref.status))
+
+
+def test_fused_routing_eligibility():
+    """solve_batch routes to the fused kernel only for eligible configs on
+    a TPU backend; `use_fused` overrides behave as documented."""
+    from qpalm_tpu.batch import _fused_eligible
+
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4,
+                 scaling=2, max_refine=0)
+    # on the CPU test backend routing must always be off
+    assert not _fused_eligible(s, 128, 64, 96)
+    assert not _fused_eligible(s.replace(use_fused="never"), 128, 64, 96)
+    # ineligible configurations fail fast under "always"
+    for bad in (
+        s.replace(dtype="float64"),
+        s.replace(nonconvex=True),
+        s.replace(factorization_method=C.FACTORIZE_CG),
+        s.replace(max_refine=2),
+    ):
+        with pytest.raises(ValueError):
+            _fused_eligible(bad.replace(use_fused="always"), 128, 64, 96)
+    # batch misalignment and VMEM overflow are ineligible
+    with pytest.raises(ValueError):
+        _fused_eligible(s.replace(use_fused="always"), 100, 64, 96)
+    with pytest.raises(ValueError):
+        _fused_eligible(s.replace(use_fused="always"), 128, 512, 768)
