@@ -30,6 +30,7 @@ reference's KKT assembly, reference: src/solver_interface.c:145-169).
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 import jax
@@ -202,3 +203,154 @@ def polish_batch(
     return jax.vmap(
         _polish_one, in_axes=(axes, 0, 0, None, None, None, None, None)
     )(data64, x64, y64, eps_abs, eps_rel, act_tol, rounds, refine_steps)
+
+
+# ---------------------------------------------------------------------------
+# Threaded pure-numpy host path.  Semantics identical to `polish_batch`
+# (asserted by tests/test_polish.py::test_np_matches_jax); exists because
+# XLA:CPU runs the batched (n+m) LU one lane at a time on one core, while
+# numpy's stacked `np.linalg.solve` + a thread pool over batch chunks uses
+# every host core (LAPACK releases the GIL) — ~5x faster at the benchmark
+# shape (B=512, n=64, m=96), which takes the polish off the bench pipeline's
+# critical path.
+# ---------------------------------------------------------------------------
+
+
+def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
+                     eps_abs, eps_rel, act_tol, rounds, refine_steps):
+    """Polish a (B, ...) chunk in numpy.  Mirrors `_polish_one` exactly —
+    see that function for the rationale behind each rule."""
+    B, m, n = A.shape
+    nm = n + m
+    has_lb = bmin > -C.QPALM_INFTY
+    has_ub = bmax < C.QPALM_INFTY
+    y_strong, y_zero = act_tol, eps_abs
+    eq = has_lb & has_ub & (
+        bmax - bmin <= 1e-12 * np.maximum(1.0, np.abs(bmax))
+    )
+
+    def detect(x, y):
+        Ax = np.einsum("bmn,bn->bm", A, x)
+        act_lo = has_lb & (
+            (y < -y_strong) | ((Ax - bmin < act_tol) & (y <= y_zero))
+        )
+        act_hi = has_ub & (
+            (y > y_strong) | ((bmax - Ax < act_tol) & (y >= -y_zero))
+        )
+        act_lo = act_lo | eq
+        act_hi = act_hi & ~act_lo
+        return act_lo, act_hi
+
+    def kkt_solve(act_lo, act_hi):
+        act = act_lo | act_hi
+        w = act.astype(Q.dtype)
+        Aact = A * w[:, :, None]
+        K = np.zeros((B, nm, nm), Q.dtype)
+        K[:, :n, :n] = Q
+        K[:, :n, n:] = Aact.transpose(0, 2, 1)
+        K[:, n:, :n] = Aact
+        dix = np.arange(m)
+        K[:, n + dix, n + dix] = np.where(act, -_DELTA_REG, 1.0)
+        b_side = np.where(act_lo, bmin, bmax)
+        rhs = np.concatenate([-q, np.where(act, b_side, 0.0)], axis=1)
+        sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]
+        for _ in range(refine_steps):
+            sx, sn = sol[:, :n], sol[:, n:]
+            top = (np.einsum("bij,bj->bi", Q, sx)
+                   + np.einsum("bmi,bm->bi", Aact, sn))
+            bot = (np.einsum("bmi,bi->bm", Aact, sx)
+                   + np.where(act, 0.0, sn))
+            r = rhs - np.concatenate([top, bot], axis=1)
+            sol = sol + np.linalg.solve(K, r[:, :, None])[:, :, 0]
+        x = sol[:, :n]
+        y = np.where(act, sol[:, n:], 0.0)
+        return x, y
+
+    def check(x, y):
+        Ax = np.einsum("bmn,bn->bm", A, x)
+        z = np.clip(Ax, np.maximum(bmin, -C.QPALM_INFTY),
+                    np.minimum(bmax, C.QPALM_INFTY))
+        pri_norm = (np.max(np.abs(Ax - z), axis=1) if m
+                    else np.zeros(B, x.dtype))
+        Qx = np.einsum("bij,bj->bi", Q, x)
+        Aty = np.einsum("bmn,bm->bn", A, y)
+        dua = Qx + q + Aty
+        dua_norm = np.max(np.abs(dua), axis=1)
+        eps_pri = eps_abs + eps_rel * np.maximum(
+            np.max(np.abs(Ax), axis=1), np.max(np.abs(z), axis=1)
+        )
+        eps_dua = eps_abs + eps_rel * np.maximum(
+            np.max(np.abs(Qx), axis=1),
+            np.maximum(np.max(np.abs(q), axis=1),
+                       np.max(np.abs(Aty), axis=1)),
+        )
+        comp_viol = (np.max(
+            np.where(y > eps_abs, np.abs(Ax - bmax), 0.0)
+            + np.where(y < -eps_abs, np.abs(Ax - bmin), 0.0), axis=1,
+        ) if m else np.zeros(B, x.dtype))
+        viol = np.maximum(
+            np.maximum(pri_norm / eps_pri, dua_norm / eps_dua),
+            comp_viol / (eps_pri + eps_abs),
+        )
+        obj = (0.5 * np.einsum("bi,bi->b", x, Qx)
+               + np.einsum("bi,bi->b", q, x) + c)
+        return viol, pri_norm, dua_norm, obj
+
+    best_chk = check(x0, y0)
+    best_x, best_y = x0.copy(), y0.copy()
+    x, y = x0, y0
+    for _ in range(rounds):
+        act_lo, act_hi = detect(x, y)
+        x, y = kkt_solve(act_lo, act_hi)
+        chk = check(x, y)
+        better = chk[0] < best_chk[0]
+        best_chk = tuple(np.where(better, a, b)
+                         for a, b in zip(chk, best_chk))
+        best_x = np.where(better[:, None], x, best_x)
+        best_y = np.where(better[:, None], y, best_y)
+    viol, pri_norm, dua_norm, obj = best_chk
+    return PolishResult(
+        x=best_x, y=best_y, ok=viol <= 1.0,
+        pri_res=pri_norm, dua_res=dua_norm, objective=obj,
+    )
+
+
+def polish_batch_np(
+    data: QPData,
+    x: np.ndarray,
+    y: np.ndarray,
+    eps_abs: float = 1e-6,
+    eps_rel: float = 1e-6,
+    act_tol: float = 1e-4,
+    rounds: int = 2,
+    refine_steps: int = 2,
+    threads: int = 4,
+) -> PolishResult:
+    """Host-threaded numpy twin of `polish_batch` (same contract).
+
+    `data`/`x`/`y` should be host (numpy) arrays — device arrays are
+    converted, which for TPU-resident inputs costs a tunnel round-trip per
+    field; fetch them with one `jax.device_get` first.
+    """
+    Q = np.asarray(data.Q, np.float64)
+    A = np.asarray(data.A, np.float64)
+    q = np.asarray(data.q, np.float64)
+    bmin = np.asarray(data.bmin, np.float64)
+    bmax = np.asarray(data.bmax, np.float64)
+    c = np.asarray(data.c, np.float64)
+    x0 = np.asarray(x, np.float64)
+    y0 = np.asarray(y, np.float64)
+    B = Q.shape[0]
+    nch = max(1, min(threads, B))
+    bounds = np.linspace(0, B, nch + 1).astype(int)
+    args = [(Q[a:b], A[a:b], q[a:b], bmin[a:b], bmax[a:b], c[a:b],
+             x0[a:b], y0[a:b], eps_abs, eps_rel, act_tol, rounds,
+             refine_steps)
+            for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    if len(args) == 1:
+        parts = [_np_polish_chunk(*args[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=len(args)) as pool:
+            parts = list(pool.map(lambda t: _np_polish_chunk(*t), args))
+    return PolishResult(*(np.concatenate([getattr(p, f) for p in parts])
+                          for f in PolishResult._fields))

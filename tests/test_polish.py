@@ -12,7 +12,7 @@ import pytest
 
 from qpalm_tpu import QPALM, Settings, constants as C
 from qpalm_tpu.batch import solve_batch_jit, stack_problems
-from qpalm_tpu.polish import polish_batch
+from qpalm_tpu.polish import polish_batch, polish_batch_np
 
 from helpers import random_convex_qp
 
@@ -51,6 +51,32 @@ def test_polish_reaches_1e6_and_matches_reference_solve():
         xt = np.asarray(ref.solution.x)
         xp = np.asarray(pr.x)[i][: len(xt)]
         assert np.max(np.abs(xp - xt)) < 1e-7
+
+
+@pytest.mark.parametrize("rounds,refine_steps", [(1, 0), (2, 2)])
+def test_np_matches_jax(rounds, refine_steps):
+    # the threaded numpy twin must reproduce the jitted jax polish exactly
+    # (same active-set rules, same LAPACK solves) — the bench relies on it
+    probs = [random_convex_qp(24, 36, seed=300 + i, density=0.5)
+             for i in range(13)]  # odd count: uneven thread chunks
+    r32 = _solve_f32_batch(probs)
+    d64 = stack_problems(probs, np.float64)
+    pj = polish_batch(d64, r32.x, r32.y, rounds=rounds,
+                      refine_steps=refine_steps)
+    pn = polish_batch_np(
+        jax.tree.map(np.asarray, d64), np.asarray(r32.x),
+        np.asarray(r32.y), rounds=rounds, refine_steps=refine_steps,
+        threads=3,
+    )
+    assert np.array_equal(np.asarray(pj.ok), np.asarray(pn.ok))
+    np.testing.assert_allclose(np.asarray(pj.x), pn.x, atol=1e-10, rtol=0)
+    np.testing.assert_allclose(np.asarray(pj.y), pn.y, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(np.asarray(pj.pri_res), pn.pri_res,
+                               atol=1e-12, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pj.dua_res), pn.dua_res,
+                               atol=1e-12, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pj.objective), pn.objective,
+                               rtol=1e-10)
 
 
 def test_polish_flags_unconverged_inputs():
