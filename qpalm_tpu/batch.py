@@ -27,7 +27,7 @@ import numpy as np
 from . import constants as C
 from .api import _PAD_BOUND, _densify, _round_up, pad_problem
 from .solver.core import full_solve
-from .solver.nonconvex import lobpcg_min_eig
+from .solver.nonconvex import batch_gamma_pins
 from .types import QPData, Settings
 
 
@@ -153,7 +153,6 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
         and settings.factorization_method in (
             C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR
         )
-        and not settings.nonconvex
         and not settings.enable_dual_termination
         and settings.time_limit >= C.QPALM_INFTY
         and settings.max_refine == 0
@@ -295,6 +294,13 @@ def solve_batch(
         x_ws = jnp.asarray(xs)
         y_ws = jnp.asarray(ys)
 
+    gamma_init = gamma_max = None
+    if settings.nonconvex:
+        # per-problem min-eigenvalue pinning on the scaled Q (vmapped
+        # LOBPCG), shared by the general and fused paths
+        gamma_init, gamma_max = batch_gamma_pins(data, settings)
+        settings = settings.replace(proximal=True)
+
     if _fused_eligible(settings, B, n_pad, m_pad):
         from .solver.fused import solve_batch_fused
 
@@ -302,6 +308,7 @@ def solve_batch(
             data, settings.replace(verbose=False),
             x_ws=x_ws if has_ws else None,
             y_ws=y_ws if has_ws else None,
+            gamma_init=gamma_init, gamma_max=gamma_max,
         )
         obj = jax.vmap(
             lambda d, xx: 0.5 * jnp.vdot(xx, d.Q @ xx) + jnp.vdot(d.q, xx)
@@ -312,40 +319,17 @@ def solve_batch(
                            objective=obj, pri_res_norm=prn,
                            dua_res_norm=dan)
 
-    if settings.time_limit < C.QPALM_INFTY and not settings.nonconvex:
+    if settings.nonconvex:
+        return _solve_batch_gi(
+            data, x_ws, y_ws, gamma_init, gamma_max, settings, has_ws
+        )
+
+    if settings.time_limit < C.QPALM_INFTY:
         return _solve_batch_time_limited(
             data, x_ws, y_ws, settings.replace(verbose=False), has_ws
         )
 
     gamma = jnp.full((B,), settings.gamma_init, dtype)
-    if settings.nonconvex:
-        # per-problem min-eigenvalue of the scaled Q (vmapped LOBPCG)
-        from .scaling import scale_data
-
-        if settings.scaling:
-            sQ = jax.jit(
-                jax.vmap(lambda d: scale_data(d, settings.scaling)[0].Q)
-            )(data)
-        else:
-            sQ = data.Q
-        rng = np.random.default_rng(0)
-        v0 = rng.random((B, n_pad)).astype(dtype)
-        v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
-        lams = jax.jit(jax.vmap(lobpcg_min_eig))(sQ, jnp.asarray(v0))
-        lams = np.asarray(lams)
-        pins = np.where(lams < 0, 1.0 / np.abs(lams), settings.gamma_init)
-        # convex members keep the default cap; nonconvex members are pinned
-        gamma = jnp.asarray(
-            np.where(lams < 0, pins, settings.gamma_max).astype(dtype)
-        )
-        gamma_init = jnp.asarray(
-            np.where(lams < 0, pins, settings.gamma_init).astype(dtype)
-        )
-        settings = settings.replace(proximal=True)
-        return _solve_batch_gi(
-            data, x_ws, y_ws, gamma_init, gamma, settings, has_ws
-        )
-
     return solve_batch_jit(data, x_ws, y_ws, gamma, settings, has_ws, False)
 
 

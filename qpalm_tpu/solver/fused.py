@@ -20,11 +20,13 @@ arithmetic at VPU speed.  This kernel runs T solver iterations per
 Semantics: identical to solver/core.py (reference src/qpalm.c:484-711) for
 the SCHUR/convex configuration — proximal, any scaling (Ruiz runs outside;
 the kernel gets per-lane Dinv/Einv/cinv for the termination norms), warm
-starts, and BOTH infeasibility certificates computed in-kernel
-(termination.c:136-240) with the Farkas vectors returned per lane.  Out of
-scope (use the general solver): nonconvex gamma pinning, dual-objective
-termination, KKT/CG/STAGE modes.  `solve_batch_fused` wires the kernel
-into the stacked-batch flow.
+starts, BOTH infeasibility certificates computed in-kernel
+(termination.c:136-240) with the Farkas vectors returned per lane, and
+nonconvex solves (per-lane LOBPCG gamma pins as `_GAMMA`/`_GAMMA_MAX`
+scalar rows, the eps_k proximal-center ladder in `_EPSK_*` rows,
+nonconvex.c:171-183 + qpalm.c:586-609).  Out of scope (use the general
+solver): dual-objective termination, KKT/CG/STAGE modes.
+`solve_batch_fused` wires the kernel into the stacked-batch flow.
 
 Reference anchors: iteration math src/iteration.c:24-229, termination
 src/termination.c:44-129, Newton src/newton.c:96-113 (Schur path),
@@ -50,7 +52,7 @@ LANES = 128  # problems per kernel program (= VPU lane width)
 # scalar-state rows (SC ref layout, one row per per-lane scalar)
 _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _GAMMA_MAXED, _ITER_OUT, _GERSH, _NB_CHANGED, _PRI_NORM, _DUA_NORM, \
-    _STATUS, _SC_ROWS = range(15)
+    _STATUS, _GAMMA_MAX, _EPSK_ABS, _EPSK_REL, _SC_ROWS = range(18)
 
 
 def _make_kernel(n: int, m: int, T: int, s: Settings):
@@ -65,10 +67,10 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
     delta = float(s.delta)
     sigma_max = float(s.sigma_max)
     gamma_upd = float(s.gamma_upd)
-    gamma_max = float(s.gamma_max)
     inner_max_iter = int(s.inner_max_iter)
     max_iter = int(s.max_iter)
     proximal = bool(s.proximal)
+    nonconvex = bool(s.nonconvex)  # implies proximal (wrapper enforces)
 
     def pick(vec_ref_val, iota, k):
         """Row k of a (rows, LANES) value as (1, LANES) via masked reduce."""
@@ -313,10 +315,11 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 * cinv
             dua2_norm = jnp.max(jnp.abs(Dinv * dphi), axis=0, keepdims=True) \
                 * cinv
-            eps_pri = eps_abs + eps_rel * jnp.maximum(
+            axz_max = jnp.maximum(
                 jnp.max(jnp.abs(Einv * Ax), axis=0, keepdims=True),
                 jnp.max(jnp.abs(Einv * z), axis=0, keepdims=True),
             )
+            eps_pri = eps_abs + eps_rel * axz_max
             max_norm = jnp.maximum(
                 jnp.max(jnp.abs(Dinv * Qx), axis=0, keepdims=True),
                 jnp.maximum(
@@ -420,7 +423,38 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             actold_after = actold_ref[:]
             nbch_new = sc[_NB_CHANGED][None]
             gmaxed_new = sc[_GAMMA_MAXED][None]
-            if proximal:
+            epsk_abs_new = sc[_EPSK_ABS][None]
+            epsk_rel_new = sc[_EPSK_REL][None]
+            gmax_l = sc[_GAMMA_MAX][None]  # per-lane gamma cap
+            x0_new = x0
+            if nonconvex:
+                # nonconvex mode (per-lane gamma pinned by the wrapper's
+                # LOBPCG, nonconvex.c:171-183): NO gamma boost; the proximal
+                # center moves only once pri_res has caught up with its own
+                # shrinking tolerance ladder (qpalm.c:586-609)
+                eps_k = epsk_abs_new + epsk_rel_new * axz_max
+                move = b_outer & (pri_norm < eps_k)
+                epsk_abs_new = jnp.where(
+                    move, jnp.maximum(eps_abs, rho * epsk_abs_new),
+                    epsk_abs_new,
+                )
+                epsk_rel_new = jnp.where(
+                    move, jnp.maximum(eps_rel, rho * epsk_rel_new),
+                    epsk_rel_new,
+                )
+                x0_new = jnp.where(move, x, x0)
+                # exhausted trips still step gamma toward the per-lane cap
+                # (qpalm.c:647-660 -> update_gamma); pinned lanes sit at
+                # gamma == gamma_max so this is a no-op for them
+                g_exh = jnp.where(
+                    gamma < gmax_l,
+                    jnp.minimum(gamma * gamma_upd, gmax_l), gamma,
+                )
+                gamma_new = jnp.where(b_exh, g_exh, gamma)
+                diff = 1.0 / gamma_new - 1.0 / gamma
+                Qx_g = jnp.where(b_exh & (gamma_new != gamma),
+                                 Qx + diff * x, Qx)
+            elif proximal:
                 # boost when the active set has settled (qpalm.c:612-630)
                 check = b_outer & (gmaxed_new < 0.5) \
                     & (sc[_ITER_OUT][None] > 0) \
@@ -436,19 +470,19 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 boosted = jnp.where(
                     nact2 > 0.5,
                     jnp.maximum(
-                        gamma_max, 1e14 / jnp.maximum(sc[_GERSH][None], 1e-30)
+                        gmax_l, 1e14 / jnp.maximum(sc[_GERSH][None], 1e-30)
                     ),
                     jnp.float32(1e12),
                 )
                 stepped = jnp.where(
-                    gamma < gamma_max,
-                    jnp.minimum(gamma * gamma_upd, gamma_max),
+                    gamma < gmax_l,
+                    jnp.minimum(gamma * gamma_upd, gmax_l),
                     gamma,
                 )
                 g_out = jnp.where(boost, boosted, stepped)
                 g_exh = jnp.where(
-                    gamma < gamma_max,
-                    jnp.minimum(gamma * gamma_upd, gamma_max),
+                    gamma < gmax_l,
+                    jnp.minimum(gamma * gamma_upd, gmax_l),
                     gamma,
                 )
                 gamma_new = jnp.where(
@@ -464,9 +498,9 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 # (qpalm.c:617-618 side effect)
                 actold_after = jnp.where(check, act2, actold_after)
                 nbch_new = jnp.where(check, jnp.minimum(nb2, 1.0), nbch_new)
+                x0_new = jnp.where(b_sig, x, x0)
 
             prin_new = jnp.where(b_sig, pri_res, prin_ref[:])
-            x0_new = jnp.where(b_sig, x, x0) if proximal else x0
             iter_out_new = sc[_ITER_OUT][None] + b_sig.astype(jnp.float32)
             prev_iter_new = jnp.where(
                 b_sig, sc[_ITER][None], sc[_PREV_ITER][None]
@@ -543,7 +577,7 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 ),
             )
             iter_new = sc[_ITER][None] + live.astype(jnp.float32)
-            for row_idx, val in (
+            rows = [
                 (_GAMMA, gamma_new),
                 (_EPSA_IN, epsa_new),
                 (_EPSR_IN, epsr_new),
@@ -559,7 +593,11 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 (_PRI_NORM, pri_norm),
                 (_DUA_NORM, dua_norm),
                 (_STATUS, status_new),
-            ):
+            ]
+            if nonconvex:
+                rows += [(_EPSK_ABS, epsk_abs_new),
+                         (_EPSK_REL, epsk_rel_new)]
+            for row_idx, val in rows:
                 sc_ref[pl.ds(row_idx, 1), :] = val
 
         jax.lax.fori_loop(0, T, iteration, 0)
@@ -679,17 +717,25 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
     return FusedState(*outs)
 
 
-def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None):
+def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None,
+                gamma_init=None, gamma_max=None):
     """Cold/warm-start state in lane-last layout (qpalm.c:322-399 and the
-    sigma heuristic iteration.c:50-84, matching core.init_state)."""
+    sigma heuristic iteration.c:50-84, matching core.init_state).
+
+    `gamma_init`/`gamma_max` are optional per-lane (B,) overrides carrying
+    nonconvex gamma pins (core.init_state has the same override seam)."""
     Q, A, q, bmin, bmax = data_t
     n, _, B = Q.shape
     m = A.shape[0]
     f32 = jnp.float32
+    g0 = jnp.asarray(gamma_init, f32) if gamma_init is not None \
+        else jnp.full((B,), settings.gamma_init, f32)
+    gmax = jnp.asarray(gamma_max, f32) if gamma_max is not None \
+        else jnp.full((B,), settings.gamma_max, f32)
     if x_ws is not None:
         x = jnp.asarray(x_ws, f32)
         Qx_pure = jnp.einsum("ijb,jb->ib", Q, x)
-        Qx = Qx_pure + x / settings.gamma_init if settings.proximal \
+        Qx = Qx_pure + x / g0[None, :] if settings.proximal \
             else Qx_pure
         Ax = jnp.einsum("ijb,jb->ib", A, x)
     else:
@@ -709,9 +755,12 @@ def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None):
     sigma = jnp.broadcast_to(sig0[None, :], (m, B)).copy()
 
     sc = jnp.zeros((_SC_ROWS, B), f32)
-    sc = sc.at[_GAMMA].set(settings.gamma_init)
+    sc = sc.at[_GAMMA].set(g0)
+    sc = sc.at[_GAMMA_MAX].set(gmax)
     sc = sc.at[_EPSA_IN].set(settings.eps_abs_in)
     sc = sc.at[_EPSR_IN].set(settings.eps_rel_in)
+    sc = sc.at[_EPSK_ABS].set(settings.eps_abs_in)
+    sc = sc.at[_EPSK_REL].set(settings.eps_rel_in)
     sc = sc.at[_STATUS].set(float(C.QPALM_UNSOLVED))
     return FusedState(
         x=x, x0=x, Qx=Qx, y=y, Ax=Ax, sigma=sigma,
@@ -731,7 +780,7 @@ def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None):
 
 
 def _prepare(data: QPData, settings: Settings, x_ws, y_ws,
-             has_x: bool, has_y: bool):
+             has_x: bool, has_y: bool, gamma_init=None, gamma_max=None):
     """Scale, transpose to lane-last, and build the initial state."""
     from ..scaling import scale_data
 
@@ -761,7 +810,7 @@ def _prepare(data: QPData, settings: Settings, x_ws, y_ws,
     xw = tr(jnp.asarray(x_ws, f32) * scal.Dinv) if has_x else None
     yw = tr(jnp.asarray(y_ws, f32) * scal.Einv * scal.c[:, None]) \
         if has_y else None
-    st = _init_fused(data_t, settings, xw, yw)
+    st = _init_fused(data_t, settings, xw, yw, gamma_init, gamma_max)
     return data_t, scal_t, scal, st
 
 
@@ -802,12 +851,15 @@ def fused_solve_jit(
     has_x: bool = False,
     has_y: bool = False,
     interpret: bool = False,
+    gamma_init=None,
+    gamma_max=None,
 ):
     """The whole fused solve (scale + init + max_iter kernel iterations +
     unscale) as ONE jitted program — the form the benchmark dispatches.
-    Pass zero arrays for x_ws/y_ws when has_x/has_y are False."""
+    Pass zero arrays for x_ws/y_ws when has_x/has_y are False; the traced
+    per-lane `gamma_init`/`gamma_max` (or None) carry nonconvex pins."""
     data_t, scal_t, scal, st = _prepare(
-        data, settings, x_ws, y_ws, has_x, has_y
+        data, settings, x_ws, y_ws, has_x, has_y, gamma_init, gamma_max
     )
     st = fused_chunk(data_t, scal_t, st, int(settings.max_iter), settings,
                      interpret)
@@ -821,6 +873,8 @@ def solve_batch_fused(
     y_ws=None,
     chunk: int = 0,
     interpret: bool = False,
+    gamma_init=None,
+    gamma_max=None,
 ):
     """Solve a stacked batch (leading batch axis, as from stack_problems)
     with the fused kernel.  Returns (x (B,n), y (B,m), status (B,),
@@ -830,11 +884,14 @@ def solve_batch_fused(
     kernel receives per-lane Dinv/Einv/cinv for its termination norms.
     `chunk` 0 means one fully-jitted call covering max_iter iterations;
     a nonzero chunk runs T-iteration kernel calls with a host early-exit
-    check in between.
+    check in between.  For `settings.nonconvex` pass the per-lane pins
+    from `nonconvex.batch_gamma_pins` as `gamma_init`/`gamma_max`.
     """
     B = data.q.shape[0]
     n = data.q.shape[1]
     m = data.bmin.shape[1]
+    if settings.nonconvex:
+        settings = settings.replace(proximal=True)
     if chunk == 0:
         zx = x_ws if x_ws is not None else jnp.zeros((B, n), jnp.float32)
         zy = y_ws if y_ws is not None else jnp.zeros((B, m), jnp.float32)
@@ -842,10 +899,12 @@ def solve_batch_fused(
             data, zx, zy, settings,
             has_x=x_ws is not None, has_y=y_ws is not None,
             interpret=interpret,
+            gamma_init=gamma_init, gamma_max=gamma_max,
         )
 
     data_t, scal_t, scal, st = _prepare(
-        data, settings, x_ws, y_ws, x_ws is not None, y_ws is not None
+        data, settings, x_ws, y_ws, x_ws is not None, y_ws is not None,
+        gamma_init, gamma_max,
     )
     iters_done = 0
     while iters_done < settings.max_iter:

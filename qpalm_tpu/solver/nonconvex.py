@@ -125,6 +125,45 @@ def lobpcg_min_eig(Q: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(converged, lam_out, lam_out)
 
 
+def batch_gamma_pins(data, settings):
+    """Per-problem nonconvex gamma pins for a stacked batch
+    (reference: nonconvex.c:171-183 applied per problem).
+
+    Runs the vmapped LOBPCG on each problem's *scaled* Q (the reference
+    pins gamma after scaling, qpalm.c:294-296) and returns
+    ``(gamma_init (B,), gamma_max (B,))``: problems with lambda_min < 0
+    get gamma_init = gamma_max = 1/|lambda_min| (every subproblem convex);
+    genuinely convex members keep the settings defaults.  Host-side
+    (uses a numpy RNG for the eigenvector seed); shared by the general
+    vmapped path (`batch.solve_batch`) and the fused-kernel path
+    (`fused.solve_batch_fused`) so both pin identically.
+    """
+    import numpy as np
+
+    B, n_pad = data.q.shape
+    dtype = data.q.dtype
+    if settings.scaling:
+        from ..scaling import scale_data
+
+        sQ = jax.jit(
+            jax.vmap(lambda d: scale_data(d, settings.scaling)[0].Q)
+        )(data)
+    else:
+        sQ = data.Q
+    rng = np.random.default_rng(0)
+    v0 = rng.random((B, n_pad)).astype(dtype)
+    v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+    lams = np.asarray(jax.jit(jax.vmap(lobpcg_min_eig))(sQ, jnp.asarray(v0)))
+    pins = np.where(lams < 0, 1.0 / np.abs(lams), settings.gamma_init)
+    gamma_max = jnp.asarray(
+        np.where(lams < 0, pins, settings.gamma_max).astype(dtype)
+    )
+    gamma_init = jnp.asarray(
+        np.where(lams < 0, pins, settings.gamma_init).astype(dtype)
+    )
+    return gamma_init, gamma_max
+
+
 def min_eig_settings(lam: float, settings):
     """Adjust settings for a nonconvex QP (reference: nonconvex.c:171-183).
 

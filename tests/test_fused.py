@@ -145,6 +145,64 @@ def test_fused_infeasibility_certificates():
     assert np.array_equal(st, np.asarray(ref.status))
 
 
+def test_fused_nonconvex_matches_general():
+    """Nonconvex mode in-kernel: per-lane LOBPCG gamma pins carried in the
+    _GAMMA/_GAMMA_MAX scalar rows and the eps_k proximal-center ladder in
+    _EPSK_* (reference nonconvex.c:171-183, qpalm.c:586-609).  Half the
+    lanes are indefinite, half convex, so both the pinned and the default
+    per-lane gamma schedules are exercised in one kernel launch."""
+    from qpalm_tpu.batch import _solve_batch_gi
+    from qpalm_tpu.solver.nonconvex import batch_gamma_pins
+
+    rng = np.random.default_rng(42)
+    n, m = 8, 8
+    probs = []
+    for i in range(LANES):
+        if i % 2 == 0:
+            Q = rng.standard_normal((n, n))
+            Q = 0.5 * (Q + Q.T) - 1.5 * np.eye(n)  # indefinite
+        else:
+            M = rng.standard_normal((n, n))
+            Q = M @ M.T + 0.1 * np.eye(n)
+        probs.append((Q, np.eye(m, n), rng.standard_normal(n),
+                      -np.ones(m), np.ones(m)))
+    s = Settings(dtype="float32", nonconvex=True, eps_abs=1e-4,
+                 eps_rel=1e-4, max_iter=400, scaling=2, max_refine=0,
+                 delta=10.0)
+    data = stack_problems(probs, np.float32)
+    gi, gm = batch_gamma_pins(data, s)
+    x, y, status, iters, prn, dan, _, _ = solve_batch_fused(
+        data, s, gamma_init=gi, gamma_max=gm, interpret=True)
+    ref = _solve_batch_gi(
+        data, jnp.zeros_like(data.q), jnp.zeros_like(data.bmin),
+        gi, gm, s.replace(proximal=True, verbose=False), False)
+    st = np.asarray(status)
+    assert np.array_equal(st, np.asarray(ref.status))
+    assert np.array_equal(np.asarray(iters), np.asarray(ref.iterations))
+    assert np.max(np.abs(np.asarray(x) - np.asarray(ref.x))) < 1e-4
+    assert np.mean(st == C.QPALM_SOLVED) > 0.9
+    # KKT check with the returned multipliers for solved sampled lanes:
+    # dual residual Qx + q + A'y ~ 0 and y has the right sign pattern
+    # (a coordinate can sit within the primal tolerance of its bound yet
+    # carry a large multiplier, so a pure "interior gradient" test is
+    # wrong at eps 1e-4)
+    for i in range(0, LANES, 13):
+        if st[i] != C.QPALM_SOLVED:
+            continue
+        Q, A, q, bl, bu = probs[i]
+        xi = np.asarray(x)[i][:n]
+        yi = np.asarray(y)[i][:m]
+        dua = Q @ xi + q + A.T @ yi
+        assert np.max(np.abs(dua)) < 5e-3, (i, np.max(np.abs(dua)))
+        # y_j > 0 only near the upper bound, y_j < 0 only near the lower
+        ax = A @ xi
+        for j in range(m):
+            if yi[j] > 1e-3:
+                assert ax[j] > bu[j] - 1e-3, (i, j, yi[j], ax[j])
+            elif yi[j] < -1e-3:
+                assert ax[j] < bl[j] + 1e-3, (i, j, yi[j], ax[j])
+
+
 def test_fused_routing_eligibility():
     """solve_batch routes to the fused kernel only for eligible configs on
     a TPU backend; `use_fused` overrides behave as documented."""
@@ -158,7 +216,7 @@ def test_fused_routing_eligibility():
     # ineligible configurations fail fast under "always"
     for bad in (
         s.replace(dtype="float64"),
-        s.replace(nonconvex=True),
+        s.replace(enable_dual_termination=True),
         s.replace(factorization_method=C.FACTORIZE_CG),
         s.replace(max_refine=2),
     ):
