@@ -15,8 +15,9 @@ MFU accounting):
     - Host pass (overlapped with the next round's TPU pass): f64
       active-set polish — one regularized KKT solve per lane + full KKT
       check at eps_abs=eps_rel=1e-6 (qpalm_tpu.polish).
-    - Lanes failing the check get a full f64 warm-started re-solve at the
-      end (a pre-compiled fixed-size chunk).
+    - The few lanes (~0.5%) failing the check run warm-started f64 P-ALM
+      iterations in numpy (qpalm_tpu.finish_np) and are re-certified by
+      the same polish KKT check — still inside the overlapped host phase.
 * Every reported solve is certified at 1e-6 in float64 on the *unscaled*
   problem — a stricter criterion than the reference's scaled check.
 * Baseline: the native single-threaded C/LAPACK solver
@@ -52,7 +53,6 @@ EPS_F32 = 1e-4  # the f32 pass only seeds the f64 polish: 1e-4 keeps the
 # lockstep iteration count at ~60-75 (3e-5 sends stragglers to 150) while
 # the polish success rate stays ~98-99%
 EPS_TARGET = 1e-6
-FALLBACK_CHUNK = 64
 SAMPLE_BASELINE = 32
 
 # bf16 MXU peak per chip by device kind — the denominator for MFU.
@@ -105,7 +105,8 @@ def main():
     import jax.numpy as jnp
 
     from qpalm_tpu import Settings, baseline_c, constants as C
-    from qpalm_tpu.batch import solve_batch_jit, stack_problems
+    from qpalm_tpu.batch import stack_problems
+    from qpalm_tpu.finish_np import palm_finish_np
     from qpalm_tpu.polish import polish_batch_np
     from qpalm_tpu.solver.fused import LANES, fused_solve_jit
 
@@ -122,9 +123,6 @@ def main():
         dtype="float32", eps_abs=EPS_F32, eps_rel=EPS_F32, max_iter=96,
         scaling=2, max_refine=0, delta=10.0,
     )
-    s64 = Settings(eps_abs=EPS_TARGET, eps_rel=EPS_TARGET,
-                   max_iter=4000, scaling=2)
-
     # ---- stage data: f32 stacks on the TPU, f64 stacks on the host --------
     datas = [stack_problems(p, np.float32) for p in rounds]
     Bp, n_pad = datas[0].q.shape
@@ -138,7 +136,6 @@ def main():
             jax.tree.map(np.asarray, stack_problems(p, np.float64))
             for p in rounds
         ]
-        gam64 = jnp.full((FALLBACK_CHUNK,), s64.gamma_init)
 
     def tpu_solve(k):
         r = fused_solve_jit(datas[k], zx, zy, s32)
@@ -171,12 +168,35 @@ def main():
         ok = np.asarray(pol.ok)
         bad = np.where(~ok)[0]
         if len(bad) == 0:
-            return pol, ok
+            return pol, ok, 0
         sub = jax.tree.map(lambda a: a[bad], datas64[k])
         pol2 = polish_batch_np(
             sub, x32[bad], y32[bad],
             eps_abs=EPS_TARGET, eps_rel=EPS_TARGET, rounds=3,
         )
+        ok2 = np.asarray(pol2.ok)
+        still = np.where(~ok2)[0]
+        n_finished = len(still)
+        if n_finished:
+            # the finisher tail: genuine warm-started f64 P-ALM iterations
+            # in numpy (qpalm_tpu.finish_np) for lanes whose f32 active set
+            # defeats the polish; re-certified by the polish KKT check
+            sub2 = jax.tree.map(lambda a: a[still], sub)
+            fin = palm_finish_np(
+                sub2, np.asarray(pol2.x)[still], np.asarray(pol2.y)[still],
+                eps_abs=EPS_TARGET, eps_rel=EPS_TARGET,
+            )
+            pol3 = polish_batch_np(
+                sub2, fin.x, fin.y,
+                eps_abs=EPS_TARGET, eps_rel=EPS_TARGET, rounds=1,
+                refine_steps=0,
+            )
+            merged2 = {}
+            for f in pol2._fields:
+                a = np.asarray(getattr(pol2, f)).copy()
+                a[still] = np.asarray(getattr(pol3, f))
+                merged2[f] = a
+            pol2 = type(pol2)(**merged2)
         merged = {}
         for f in pol._fields:
             a = np.asarray(getattr(pol, f)).copy()
@@ -184,68 +204,32 @@ def main():
             merged[f] = a
         pol = type(pol)(**merged)
         ok = np.asarray(pol.ok)
-        return pol, ok
+        return pol, ok, n_finished
 
     # ---- warm-up / compile (untimed) --------------------------------------
     r0 = tpu_solve(0)
     np.asarray(r0[0])
-    p0, _ = host_polish(0, r0)  # warms numpy/LAPACK thread pools
-    with jax.default_device(cpu):
-        # pre-compile the f64 fallback chunk
-        dfb = stack_problems(rounds[0][:FALLBACK_CHUNK], np.float64)
-        rfb = solve_batch_jit(
-            dfb, jnp.zeros((FALLBACK_CHUNK, n_pad)),
-            jnp.zeros((FALLBACK_CHUNK, m_pad)), gam64, s64, True, False,
-        )
-        jax.block_until_ready(rfb.x)
+    host_polish(0, r0)  # warms numpy/LAPACK thread pools
 
     # ---- timed pipeline ---------------------------------------------------
     # dispatch TPU round k+1 before polishing round k on the host: the TPU
     # executes remotely while the CPU polishes, so steady-state cost per
     # round is max(t_tpu, t_polish), not the sum
     t_start = time.perf_counter()
-    pols = [None] * K_ROUNDS
     oks = [None] * K_ROUNDS
     results = [None] * K_ROUNDS
+    n_finisher_lanes = 0
     pending = tpu_solve(0)
     for k in range(K_ROUNDS):
         nxt = tpu_solve(k + 1) if k + 1 < K_ROUNDS else None
-        pols[k], oks[k] = host_polish(k, pending)
+        _, oks[k], nfin = host_polish(k, pending)
+        n_finisher_lanes += nfin
         results[k] = pending
         pending = nxt
-
-    # fallback: full f64 warm-started re-solve of every failed lane
-    fails = []  # (round, lane)
-    for k in range(K_ROUNDS):
-        fails.extend((k, int(i)) for i in np.where(~oks[k])[0])
-    n_fb_solved = 0
-    if fails:
-        fb_probs, fb_x, fb_y = [], [], []
-        for k, i in fails:
-            fb_probs.append(rounds[k][i])
-            fb_x.append(np.asarray(pols[k].x)[i])
-            fb_y.append(np.asarray(pols[k].y)[i])
-        while len(fb_probs) % FALLBACK_CHUNK:
-            fb_probs.append(fb_probs[0])
-            fb_x.append(fb_x[0])
-            fb_y.append(fb_y[0])
-        with jax.default_device(cpu):
-            for c0 in range(0, len(fb_probs), FALLBACK_CHUNK):
-                sl = slice(c0, c0 + FALLBACK_CHUNK)
-                dch = stack_problems(fb_probs[sl], np.float64,
-                                     n_pad=n_pad, m_pad=m_pad)
-                rch = solve_batch_jit(
-                    dch, jnp.asarray(np.asarray(fb_x[sl])),
-                    jnp.asarray(np.asarray(fb_y[sl])),
-                    gam64, s64, True, False,
-                )
-                st = np.asarray(rch.status)[: len(fails) - c0]
-                n_fb_solved += int(np.sum(st == C.QPALM_SOLVED))
     total_time = time.perf_counter() - t_start
 
     n_total = K_ROUNDS * B
-    n_polished = sum(int(ok.sum()) for ok in oks)
-    n_solved = n_polished + n_fb_solved
+    n_solved = sum(int(ok.sum()) for ok in oks)
     throughput = n_total / total_time
 
     # ---- FLOP accounting --------------------------------------------------
@@ -290,8 +274,7 @@ def main():
             "eps_certified": EPS_TARGET, "eps_f32_pass": EPS_F32,
             "solved": n_solved, "total": n_total,
             "pipeline_s": round(total_time, 4),
-            "polished_ok": n_polished,
-            "fallback_lanes": len(fails),
+            "finisher_lanes": n_finisher_lanes,
             "executed_kernel_iters": executed_iters,
             "device": getattr(dev, "device_kind", str(dev)),
             "tpu_pass_gflops_per_s": round(gflops, 1),

@@ -217,9 +217,17 @@ def polish_batch(
 
 
 def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
-                     eps_abs, eps_rel, act_tol, rounds, refine_steps):
+                     eps_abs, eps_rel, act_tol, rounds, refine_steps,
+                     compress=True):
     """Polish a (B, ...) chunk in numpy.  Mirrors `_polish_one` exactly —
-    see that function for the rationale behind each rule."""
+    see that function for the rationale behind each rule.
+
+    `compress=True` solves the KKT system with the inactive rows removed
+    (a symmetric permutation that moves each lane's active rows first,
+    truncated at the chunk's max active count): the inactive rows are
+    decoupled `nu_k = 0` identity equations, so the compacted system has
+    the identical solution while the LU shrinks from (n+m)^3 to
+    (n+mact_max)^3 — typically ~2x fewer FLOPs at mact <= n < m."""
     B, m, n = A.shape
     nm = n + m
     has_lb = bmin > -C.QPALM_INFTY
@@ -243,27 +251,43 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
 
     def kkt_solve(act_lo, act_hi):
         act = act_lo | act_hi
-        w = act.astype(Q.dtype)
-        Aact = A * w[:, :, None]
-        K = np.zeros((B, nm, nm), Q.dtype)
+        b_side = np.where(act_lo, bmin, bmax)
+        if compress:
+            # active rows first per lane, truncated at the chunk max
+            order = np.argsort(~act, axis=1, kind="stable")
+            cap = int(act.sum(axis=1).max()) if m else 0
+            idx = order[:, :cap]                       # (B, cap)
+            sel = np.take_along_axis(act, idx, 1)      # (B, cap)
+            Asub = np.take_along_axis(A, idx[:, :, None], 1)
+            bsub = np.take_along_axis(b_side, idx, 1)
+            mc = cap
+        else:
+            idx = sel = None
+            Asub, bsub, mc = A, b_side, m
+        wc = sel if compress else act
+        Aact = Asub * wc[:, :, None].astype(Q.dtype)
+        K = np.zeros((B, n + mc, n + mc), Q.dtype)
         K[:, :n, :n] = Q
         K[:, :n, n:] = Aact.transpose(0, 2, 1)
         K[:, n:, :n] = Aact
-        dix = np.arange(m)
-        K[:, n + dix, n + dix] = np.where(act, -_DELTA_REG, 1.0)
-        b_side = np.where(act_lo, bmin, bmax)
-        rhs = np.concatenate([-q, np.where(act, b_side, 0.0)], axis=1)
+        dix = np.arange(mc)
+        K[:, n + dix, n + dix] = np.where(wc, -_DELTA_REG, 1.0)
+        rhs = np.concatenate([-q, np.where(wc, bsub, 0.0)], axis=1)
         sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]
         for _ in range(refine_steps):
             sx, sn = sol[:, :n], sol[:, n:]
             top = (np.einsum("bij,bj->bi", Q, sx)
                    + np.einsum("bmi,bm->bi", Aact, sn))
             bot = (np.einsum("bmi,bi->bm", Aact, sx)
-                   + np.where(act, 0.0, sn))
+                   + np.where(wc, 0.0, sn))
             r = rhs - np.concatenate([top, bot], axis=1)
             sol = sol + np.linalg.solve(K, r[:, :, None])[:, :, 0]
         x = sol[:, :n]
-        y = np.where(act, sol[:, n:], 0.0)
+        if compress:
+            y = np.zeros((B, m), Q.dtype)
+            np.put_along_axis(y, idx, sol[:, n:] * sel, 1)
+        else:
+            y = np.where(act, sol[:, n:], 0.0)
         return x, y
 
     def check(x, y):
@@ -325,12 +349,18 @@ def polish_batch_np(
     rounds: int = 2,
     refine_steps: int = 2,
     threads: int = 4,
+    compress: bool = True,
 ) -> PolishResult:
     """Host-threaded numpy twin of `polish_batch` (same contract).
 
     `data`/`x`/`y` should be host (numpy) arrays — device arrays are
     converted, which for TPU-resident inputs costs a tunnel round-trip per
     field; fetch them with one `jax.device_get` first.
+
+    `compress=False` forces the full (n+m) KKT solve (the exact
+    operation-for-operation twin of `polish_batch`); the default solves
+    the compacted active-rows-only system — identical in exact
+    arithmetic, ~2x faster, but a different LU rounding path.
     """
     Q = np.asarray(data.Q, np.float64)
     A = np.asarray(data.A, np.float64)
@@ -345,7 +375,7 @@ def polish_batch_np(
     bounds = np.linspace(0, B, nch + 1).astype(int)
     args = [(Q[a:b], A[a:b], q[a:b], bmin[a:b], bmax[a:b], c[a:b],
              x0[a:b], y0[a:b], eps_abs, eps_rel, act_tol, rounds,
-             refine_steps)
+             refine_steps, compress)
             for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
     if len(args) == 1:
         parts = [_np_polish_chunk(*args[0])]

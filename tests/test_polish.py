@@ -66,7 +66,7 @@ def test_np_matches_jax(rounds, refine_steps):
     pn = polish_batch_np(
         jax.tree.map(np.asarray, d64), np.asarray(r32.x),
         np.asarray(r32.y), rounds=rounds, refine_steps=refine_steps,
-        threads=3,
+        threads=3, compress=False,
     )
     assert np.array_equal(np.asarray(pj.ok), np.asarray(pn.ok))
     np.testing.assert_allclose(np.asarray(pj.x), pn.x, atol=1e-10, rtol=0)
@@ -118,3 +118,28 @@ def test_polish_handles_equalities_and_narrow_ranges():
     assert bool(np.asarray(pr.ok)[0])
     xt = np.asarray(ref.solution.x)
     assert np.max(np.abs(np.asarray(pr.x)[0][:n] - xt)) < 1e-6
+
+
+def test_compressed_matches_full():
+    """compress=True removes the decoupled identity rows of the KKT system
+    (inactive constraints) behind a symmetric permutation — the solution is
+    identical up to LU rounding.  Must agree with the full solve on random
+    problems and on the edge cases: all-inactive, all-active, equalities."""
+    probs = [random_convex_qp(24, 36, seed=400 + i, density=0.5)
+             for i in range(9)]
+    # edge: box so wide nothing is active
+    Q, A, q, _, _ = random_convex_qp(24, 36, seed=450)
+    probs.append((Q, A, q, -1e4 * np.ones(36), 1e4 * np.ones(36)))
+    # edge: equalities force every row active
+    Q, A, q, _, _ = random_convex_qp(24, 24, seed=451)
+    b = 0.01 * np.arange(24.0)
+    probs.append((Q, A, q, b, b))
+    r32 = _solve_f32_batch(probs, eps=1e-4)
+    d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
+    x32, y32 = np.asarray(r32.x), np.asarray(r32.y)
+    pf = polish_batch_np(d64, x32, y32, rounds=2, compress=False, threads=2)
+    pc = polish_batch_np(d64, x32, y32, rounds=2, compress=True, threads=2)
+    assert np.array_equal(np.asarray(pf.ok), np.asarray(pc.ok))
+    np.testing.assert_allclose(pc.x, pf.x, atol=1e-8, rtol=0)
+    np.testing.assert_allclose(pc.y, pf.y, atol=1e-8, rtol=0)
+    np.testing.assert_allclose(pc.objective, pf.objective, rtol=1e-9)
