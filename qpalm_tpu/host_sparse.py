@@ -360,18 +360,22 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
 
 def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
                       = None, c: float = 0.0, x0=None, y0=None,
-                      fill_ratio: float = 30.0, **settings_kw):
+                      fill_ratio: float = 30.0,
+                      direct_flop_budget: float = 2e10, **settings_kw):
     """Large-sparse front door: pick the direct LDL' path or the
-    matrix-free CG path by *estimated factor fill* — the sparse analogue
+    matrix-free CG path by *estimated factor cost* — the sparse analogue
     of the reference's KKT-vs-Schur nnz selector
     (reference: solver_interface.c:20-75, threshold philosophy:
     `qpalm_set_factorization_method`).
 
     The symbolic analysis is O(nnz) and gives the exact LDL' fill for the
-    all-active superset pattern; if fill stays under `fill_ratio` x nnz
-    (structured / banded patterns under RCM), direct factorization wins by
-    orders of magnitude on ill-conditioned problems.  Random-sparsity Gram
-    matrices blow past it and route to Jacobi/block-Jacobi PCG.
+    all-active superset pattern.  Two direct routes exist: the scalar
+    up-looking backend for low-fill structured/banded patterns
+    (`lnz <= fill_ratio * nnz`), and the supernodal BLAS-panel backend,
+    which keeps heavy-fill factorizations viable until the estimated
+    factor FLOPs (~2*lnz^2/n) exceed `direct_flop_budget` (~1 s of dgemm
+    at the default).  Only patterns beyond both route to Jacobi /
+    block-Jacobi PCG.
     """
     from . import constants as C2
     from .linalg.sparse_direct import SparseLDL, load_library
@@ -388,7 +392,10 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
         pattern = (Qc + (Ac.T @ Ac) + sp.eye(n)).tocsc()
         try:
             sym = SparseLDL(pattern)
-            use_direct = sym.lnz <= fill_ratio * pattern.nnz
+            est_flops = 2.0 * sym.lnz * sym.lnz / max(n, 1)
+            use_direct = (sym.lnz <= fill_ratio * pattern.nnz
+                          or (sym.method == "supernodal"
+                              and est_flops <= direct_flop_budget))
         except Exception:
             use_direct = False
     if use_direct:

@@ -61,25 +61,79 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.ldl_lnz.argtypes = [ctypes.c_void_p]
     lib.ldl_free.restype = None
     lib.ldl_free.argtypes = [ctypes.c_void_p]
+    # supernodal variant (sparse_ldl_sn.cpp) — lower-triangular CSC input
+    lib.sldl_symbolic.restype = ctypes.c_void_p
+    lib.sldl_symbolic.argtypes = [ctypes.c_int, _IP, _IP, ctypes.c_int,
+                                  ctypes.c_double]
+    lib.sldl_numeric.restype = ctypes.c_int
+    lib.sldl_numeric.argtypes = [ctypes.c_void_p, _IP, _IP, _DP,
+                                 ctypes.c_double]
+    lib.sldl_solve.restype = None
+    lib.sldl_solve.argtypes = [ctypes.c_void_p, _DP]
+    lib.sldl_lnz.restype = ctypes.c_long
+    lib.sldl_lnz.argtypes = [ctypes.c_void_p]
+    lib.sldl_nsuper.restype = ctypes.c_int
+    lib.sldl_nsuper.argtypes = [ctypes.c_void_p]
+    lib.sldl_free.restype = None
+    lib.sldl_free.argtypes = [ctypes.c_void_p]
+    lib.sldl_use_blas.restype = ctypes.c_int
+    lib.sldl_use_blas.argtypes = [ctypes.c_char_p]
+    _point_at_fast_blas(lib)
     _lib = lib
     return lib
 
 
+def _point_at_fast_blas(lib) -> None:
+    """Swap the supernodal backend's BLAS onto the OpenBLAS the scipy/numpy
+    wheels ship (`scipy_`-prefixed LP64 symbols): the system libblas.so.3 it
+    links against is reference BLAS, ~10x slower at panel dgemm sizes."""
+    import glob
+
+    candidates = []
+    for mod in ("scipy", "numpy"):
+        try:
+            root = os.path.dirname(os.path.dirname(
+                __import__(mod).__file__))
+        except Exception:
+            continue
+        # LP64 only: the *64_ builds use 64-bit ints, wrong ABI here
+        candidates += [p for p in glob.glob(
+            os.path.join(root, f"{mod}.libs", "libscipy_openblas*.so*"))
+            if "64_" not in os.path.basename(p)]
+    for path in candidates:
+        if lib.sldl_use_blas(path.encode()) == 0:
+            return
+
+
+# mean L-column count above which the supernodal backend's dense BLAS
+# panels beat the scalar up-looking loop (measured crossover ~15-30; the
+# scalar path wins on banded patterns with short columns)
+_SUPERNODAL_MEAN_COLS = 24.0
+
+
 class SparseLDL:
-    """Factorization handle over a fixed upper-triangular CSC pattern.
+    """Factorization handle over a fixed symmetric sparsity pattern.
 
     Parameters
     ----------
     pattern : scipy.sparse matrix (square, symmetric); only the structure
         matters here.  `ordering='rcm'` permutes symmetrically with reverse
         Cuthill-McKee to bound fill on banded problems.
+    method : 'auto' | 'simplicial' | 'supernodal'.  The simplicial backend
+        (native/sparse_ldl.cpp, scalar up-looking) is right for short-column
+        banded/structured factors; the supernodal backend
+        (native/sparse_ldl_sn.cpp, left-looking with BLAS dgemm panels) wins
+        when fill makes the mean L column long.  'auto' runs the cheap
+        simplicial symbolic analysis and picks by mean column count.
     """
 
-    def __init__(self, pattern, ordering: str = "rcm"):
+    def __init__(self, pattern, ordering: str = "rcm",
+                 method: str = "auto"):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native LDL library unavailable")
         self._lib = lib
+        self._h = None
         M = sp.csc_matrix(pattern)
         n = M.shape[0]
         if ordering == "rcm":
@@ -93,49 +147,88 @@ class SparseLDL:
         Mp = M[perm][:, perm]
         U = sp.triu(Mp, format="csc")
         U.sort_indices()
-        self._Up = np.ascontiguousarray(U.indptr, np.int32)
-        self._Ui = np.ascontiguousarray(U.indices, np.int32)
+        Up = np.ascontiguousarray(U.indptr, np.int32)
+        Ui = np.ascontiguousarray(U.indices, np.int32)
+        self.n = n
+
+        if method == "auto":
+            h = lib.ldl_symbolic(n, Up, Ui)
+            if not h:
+                raise RuntimeError("LDL symbolic analysis failed")
+            mean_cols = lib.ldl_lnz(h) / max(n, 1)
+            if mean_cols >= _SUPERNODAL_MEAN_COLS:
+                lib.ldl_free(h)
+                method = "supernodal"
+            else:
+                method = "simplicial"
+                self._h = h
+        self.method = method
+
+        if method == "supernodal":
+            L = sp.tril(Mp, format="csc")
+            L.sort_indices()
+            self._Tp = np.ascontiguousarray(L.indptr, np.int32)
+            self._Ti = np.ascontiguousarray(L.indices, np.int32)
+            self._h = lib.sldl_symbolic(n, self._Tp, self._Ti, 48, 0.2)
+            if not self._h:
+                raise RuntimeError("supernodal symbolic analysis failed")
+        else:
+            self._Tp, self._Ti = Up, Ui
+            if self._h is None:
+                self._h = lib.ldl_symbolic(n, Up, Ui)
+                if not self._h:
+                    raise RuntimeError("LDL symbolic analysis failed")
         # column-major (col, row) keys of the analyzed pattern, globally
         # sorted — lets `factor` scatter a sub-pattern's values with one
         # searchsorted (scipy's sparse addition silently drops zero-valued
         # entries, so a zero-pattern union cannot be used for alignment)
-        cols = np.repeat(np.arange(n, dtype=np.int64),
-                         np.diff(self._Up))
-        self._keys = cols * np.int64(n) + self._Ui.astype(np.int64)
-        self.n = n
-        self._h = lib.ldl_symbolic(n, self._Up, self._Ui)
-        if not self._h:
-            raise RuntimeError("LDL symbolic analysis failed")
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(self._Tp))
+        self._keys = cols * np.int64(n) + self._Ti.astype(np.int64)
 
     @property
     def lnz(self) -> int:
+        if self.method == "supernodal":
+            return int(self._lib.sldl_lnz(self._h))
         return int(self._lib.ldl_lnz(self._h))
+
+    @property
+    def nsuper(self) -> int:
+        """Number of supernodes (supernodal method only)."""
+        if self.method != "supernodal":
+            return self.n
+        return int(self._lib.sldl_nsuper(self._h))
+
+    def _aligned_values(self, M) -> np.ndarray:
+        """Permute + take this method's triangle of M and align its values
+        to the analyzed pattern (which may be a structural superset)."""
+        Mp = sp.csc_matrix(M)[self.perm][:, self.perm]
+        tri = sp.tril if self.method == "supernodal" else sp.triu
+        T = tri(Mp, format="csc")
+        T.sort_indices()
+        if (T.indptr.shape == self._Tp.shape
+                and np.array_equal(T.indptr, self._Tp)
+                and np.array_equal(T.indices, self._Ti)):
+            return np.ascontiguousarray(T.data, np.float64)
+        # value scatter into the superset pattern via sorted keys
+        cols = np.repeat(np.arange(self.n, dtype=np.int64),
+                         np.diff(T.indptr))
+        sub_keys = cols * np.int64(self.n) + T.indices.astype(np.int64)
+        pos = np.searchsorted(self._keys, sub_keys)
+        if (pos >= len(self._keys)).any() or not np.array_equal(
+                self._keys[np.minimum(pos, len(self._keys) - 1)],
+                sub_keys):
+            raise ValueError("pattern not contained in analyzed pattern")
+        vals = np.zeros(len(self._keys), np.float64)
+        vals[pos] = T.data
+        return vals
 
     def factor(self, M, shift: float = 0.0) -> None:
         """Numeric (re)factorization of M (+ shift*I).  M must have a
         sparsity pattern contained in the analyzed one."""
-        Mp = sp.csc_matrix(M)[self.perm][:, self.perm]
-        U = sp.triu(Mp, format="csc")
-        U.sort_indices()
-        if (U.indptr.shape == self._Up.shape
-                and np.array_equal(U.indptr, self._Up)
-                and np.array_equal(U.indices, self._Ui)):
-            vals = np.ascontiguousarray(U.data, np.float64)
-        else:
-            # value scatter into the superset pattern via sorted keys
-            cols = np.repeat(np.arange(self.n, dtype=np.int64),
-                             np.diff(U.indptr))
-            sub_keys = cols * np.int64(self.n) + U.indices.astype(np.int64)
-            pos = np.searchsorted(self._keys, sub_keys)
-            if (pos >= len(self._keys)).any() or not np.array_equal(
-                    self._keys[np.minimum(pos, len(self._keys) - 1)],
-                    sub_keys):
-                raise ValueError("pattern not contained in analyzed pattern")
-            vals = np.zeros(len(self._keys), np.float64)
-            vals[pos] = U.data
-        status = self._lib.ldl_numeric(
-            self._h, self._Up, self._Ui, vals, float(shift)
-        )
+        vals = self._aligned_values(M)
+        fn = (self._lib.sldl_numeric if self.method == "supernodal"
+              else self._lib.ldl_numeric)
+        status = fn(self._h, self._Tp, self._Ti, vals, float(shift))
         if status != 0:
             raise np.linalg.LinAlgError(
                 f"LDL numeric breakdown at column {status - 1}"
@@ -143,10 +236,16 @@ class SparseLDL:
 
     def solve(self, b) -> np.ndarray:
         x = np.ascontiguousarray(np.asarray(b, np.float64)[self.perm])
-        self._lib.ldl_solve(self._h, x)
+        if self.method == "supernodal":
+            self._lib.sldl_solve(self._h, x)
+        else:
+            self._lib.ldl_solve(self._h, x)
         return x[self.iperm]
 
     def __del__(self):
         if getattr(self, "_h", None) and getattr(self, "_lib", None):
-            self._lib.ldl_free(self._h)
+            if self.method == "supernodal":
+                self._lib.sldl_free(self._h)
+            else:
+                self._lib.ldl_free(self._h)
             self._h = None
