@@ -90,8 +90,22 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
 
     Q/A: scipy sparse (any format), q/bmin/bmax: 1-D arrays.  Supports
     proximal, scaling, warm starts and infeasibility certificates like the
-    device solver; `settings.factorization_method` is ignored (this IS the
-    sparse-direct method).
+    device solver.
+
+    `settings.factorization_method` selects the Newton system form
+    (reference newton.c:22-113 / solver_interface.c:20-75):
+      - FACTORIZE_SCHUR: factor M = Q + A' Sigma_act A (+ 1/gamma I) —
+        right when A'A stays sparse.
+      - FACTORIZE_KKT: factor the quasi-definite augmented system
+        [[Q + 1/gamma I, A_act'], [A_act, -Sigma_act^{-1}]] (inactive rows
+        decoupled to identity, reference qpalm_form_kkt,
+        solver_interface.c:119-169) — right when A has dense-ish rows that
+        would fill the Schur form; quasi-definiteness makes the no-pivot
+        LDL' stable (Vanderbei).
+      - FACTORIZE_KKT_OR_SCHUR (default): run the symbolic analysis on
+        BOTH superset patterns and keep the one with the lower estimated
+        factor FLOPs (~2*lnz^2/size) — the exact-fill analogue of the
+        reference's nnz cost model.
     """
     from .linalg.sparse_direct import SparseLDL
 
@@ -142,9 +156,29 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     cinv = 1.0 / cost
 
     # ---- symbolic analysis on the all-active superset pattern -------------
-    pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
-    ldl = SparseLDL(pattern)
     At = A.T.tocsc()
+    fm = s.factorization_method
+    ldl = ldl_kkt = None
+    if fm != C.FACTORIZE_KKT:  # Schur covers every non-KKT mode here
+        pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
+        ldl = SparseLDL(pattern)
+    if fm in (C.FACTORIZE_KKT, C.FACTORIZE_KKT_OR_SCHUR):
+        kkt_pattern = sp.bmat(
+            [[Q + sp.eye(n), At], [A, sp.eye(m)]], format="csc"
+        )
+        ldl_kkt = SparseLDL(kkt_pattern)
+    if fm == C.FACTORIZE_KKT_OR_SCHUR:
+        # keep the cheaper factor: estimated FLOPs ~ 2*lnz^2/size (the
+        # exact-fill analogue of the reference's nnz rule,
+        # solver_interface.c:62-65)
+        schur_flops = 2.0 * ldl.lnz ** 2 / max(n, 1)
+        kkt_flops = 2.0 * ldl_kkt.lnz ** 2 / max(n + m, 1)
+        if kkt_flops < schur_flops:
+            ldl = None
+        else:
+            ldl_kkt = None
+    use_kkt = ldl_kkt is not None
+    eye_n = sp.eye(n, format="csc")
 
     # ---- warm start / state (qpalm.c:322-399) -----------------------------
     gamma = float(s.gamma_init)
@@ -318,16 +352,52 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             active = act
             active_old = act.copy()
             if changed or not factor_valid:
-                w = np.where(active, sigma, 0.0)
-                Aw = sp.diags(w) @ A
-                AtsA = (A.T @ Aw).tocsc()
-                M = (Q + AtsA).tocsc()
-                # Gershgorin bound of AtsA (nonconvex.c:185-210)
-                gersh = float(np.abs(AtsA).sum(axis=1).max()) \
-                    if AtsA.nnz else 0.0
-                ldl.factor(M, shift=(1.0 / gamma if s.proximal else 0.0))
+                if use_kkt:
+                    # quasi-definite augmented form (qpalm_form_kkt,
+                    # solver_interface.c:119-169): active rows carry
+                    # -1/sigma on the diagonal, inactive rows decouple to
+                    # the identity with their A-column zeroed
+                    Aact = sp.diags(active.astype(np.float64)) @ A
+                    dblock = sp.diags(np.where(active, -1.0 / sigma, 1.0))
+                    Qg = (Q + (1.0 / gamma) * eye_n if s.proximal
+                          else Q)
+                    Kmat = sp.bmat([[Qg, Aact.T], [Aact, dblock]],
+                                   format="csc")
+                    ldl_kkt.factor(Kmat)
+                    # Gershgorin-style upper bound on ||A' Sigma_act A||:
+                    # ||A'||_inf * ||Sigma_act A||_inf (the exact row-sum
+                    # bound needs A'A, which KKT mode exists to avoid; a
+                    # larger bound only picks a smaller terminal gamma)
+                    absA = abs(A)
+                    r1 = absA.sum(axis=0).max() if A.nnz else 0.0
+                    r2 = (sp.diags(np.where(active, sigma, 0.0))
+                          @ absA).sum(axis=1).max() if A.nnz else 0.0
+                    gersh = float(r1) * float(r2)
+                else:
+                    w = np.where(active, sigma, 0.0)
+                    Aw = sp.diags(w) @ A
+                    AtsA = (A.T @ Aw).tocsc()
+                    M = (Q + AtsA).tocsc()
+                    # Gershgorin bound of AtsA (nonconvex.c:185-210)
+                    gersh = float(np.abs(AtsA).sum(axis=1).max()) \
+                        if AtsA.nnz else 0.0
+                    ldl.factor(M, shift=(1.0 / gamma if s.proximal
+                                         else 0.0))
                 factor_valid = True
-            d = ldl.solve(-dphi)
+            if use_kkt:
+                rhs = np.concatenate([-dphi, np.zeros(m)])
+                sol = ldl_kkt.solve(rhs)
+                for _ in range(min(int(s.max_refine), 3)):
+                    # refinement against the assembled KKT (newton.c:57-92)
+                    r = rhs.copy()
+                    r[:n] -= Qg @ sol[:n] + Aact.T @ sol[n:]
+                    r[n:] -= Aact @ sol[:n] + dblock @ sol[n:]
+                    if _norm_inf(r) <= 1e-12 * max(1.0, _norm_inf(rhs)):
+                        break
+                    sol = sol + ldl_kkt.solve(r)
+                d = sol[:n]
+            else:
+                d = ldl.solve(-dphi)
             Qd = Q @ d + (d / gamma if s.proximal else 0.0)
             Ad = A @ d
             tau = _linesearch(d, Qd, Ad, df, Ax, y, sigma,

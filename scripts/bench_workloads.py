@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Reference simulation-suite parity sweep: randomQP / lasso / portfolio.
+
+Mirrors the reference's simulations (randomQP.m:22-47 protocol n=20:20:100
+50%-dense Q=MM', lasso.m, portfolio.m) at the MM tolerance eps 1e-6, using
+the framework's certified pipeline on stacked batches:
+
+    f32 batch pass  ->  f64 active-set polish (KKT-check certified)
+    -> numpy f64 finisher for any lane the polish rejects.
+
+Every reported solve is certified at 1e-6 in f64 on the unscaled problem.
+The baseline column is the native single-threaded C/LAPACK solver
+(native/qpalm_baseline.cpp) on the same instances.
+
+Backend-adaptive: runs the f32 pass on the default JAX backend (TPU when
+available; pass --cpu to force CPU).  Writes benchmarks/RESULTS_workloads.md
+and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force JAX CPU")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--baseline-sample", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from qpalm_tpu import Settings, baseline_c
+    from qpalm_tpu.batch import solve_batch_jit, stack_problems
+    from qpalm_tpu.finish_np import palm_finish_np
+    from qpalm_tpu.polish import polish_batch_np
+    from qpalm_tpu.workloads import lasso, portfolio, random_qp
+
+    cpu = jax.devices("cpu")[0]
+    B = args.batch
+    EPS = 1e-6
+    s32 = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4,
+                   max_iter=400, scaling=2, max_refine=0, delta=10.0)
+
+    configs = (
+        [("randomQP", f"n={n}", [random_qp(n, n, seed=10 * n + i)
+                                 for i in range(B)])
+         for n in (20, 40, 60, 80, 100)]
+        + [("lasso", f"n={n}", [lasso(n, seed=3 * n + i) for i in range(B)])
+           for n in (20, 50)]
+        + [("portfolio", f"n={n}", [portfolio(n, seed=7 * n + i)
+                                    for i in range(B)])
+           for n in (60, 120)]
+    )
+
+    rows = []
+    for family, size, probs in configs:
+        data32 = stack_problems(probs, np.float32)
+        Bp, n_pad = data32.q.shape
+        m_pad = data32.bmin.shape[1]
+        zx = jnp.zeros((Bp, n_pad), jnp.float32)
+        zy = jnp.zeros((Bp, m_pad), jnp.float32)
+        gam = jnp.full((Bp,), s32.gamma_init, jnp.float32)
+        with jax.default_device(cpu):
+            d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
+
+        def run_pipeline():
+            res = solve_batch_jit(data32, zx, zy, gam, s32, False, False)
+            x32, y32 = jax.device_get((res.x, res.y))
+            pol = polish_batch_np(d64, x32, y32, eps_abs=EPS, eps_rel=EPS,
+                                  rounds=2)
+            ok = np.asarray(pol.ok)
+            bad = np.where(~ok)[0]
+            if len(bad):
+                sub = jax.tree.map(lambda a: a[bad], d64)
+                fin = palm_finish_np(sub, np.asarray(pol.x)[bad],
+                                     np.asarray(pol.y)[bad],
+                                     eps_abs=EPS, eps_rel=EPS)
+                pol2 = polish_batch_np(sub, fin.x, fin.y, eps_abs=EPS,
+                                       eps_rel=EPS, rounds=1,
+                                       refine_steps=0)
+                ok[bad] = np.asarray(pol2.ok)
+            return ok
+
+        ok = run_pipeline()  # compile (untimed)
+        t0 = time.perf_counter()
+        ok = run_pipeline()
+        dt = time.perf_counter() - t0
+        ours = B / dt
+
+        # baseline on a sample of the same instances
+        sample = probs[: args.baseline_sample]
+        baseline_c.solve(*sample[0], eps_abs=EPS, eps_rel=EPS, scaling=2)
+        tb = time.perf_counter()
+        nb = sum(baseline_c.solve(*p, eps_abs=EPS, eps_rel=EPS,
+                                  scaling=2)["status"] == 1
+                 for p in sample)
+        base = len(sample) / (time.perf_counter() - tb)
+        rows.append({
+            "family": family, "size": size, "batch": B,
+            "certified": int(ok.sum()),
+            "solves_per_s": round(ours, 1),
+            "baseline_solves_per_s": round(base, 1),
+            "baseline_solved": int(nb),
+            "speedup": round(ours / base, 2),
+        })
+        print(f"{family} {size}: {rows[-1]}", file=sys.stderr)
+
+    dev = jax.devices()[0]
+    lines = [
+        "# Reference simulation-suite sweep (randomQP / lasso / portfolio)",
+        "",
+        f"Backend: {dev.platform} ({getattr(dev, 'device_kind', '')}).  "
+        f"Every solve certified at eps 1e-6 in f64 on the unscaled problem",
+        "(f32 batch pass + polish + finisher).  Baseline: native",
+        "single-threaded C/LAPACK solver on the same instances.",
+        "Protocols: reference simulations/randomQP.m:22-47, lasso.m,",
+        "portfolio.m at the MM tolerance.",
+        "",
+        "| family | size | batch | certified | solves/s | baseline "
+        "solves/s | speedup |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['family']} | {r['size']} | {r['batch']} | "
+            f"{r['certified']}/{r['batch']} | {r['solves_per_s']} | "
+            f"{r['baseline_solves_per_s']} | {r['speedup']} |")
+    lines.append("")
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "RESULTS_workloads.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"rows": rows, "report": out_path,
+                      "backend": dev.platform}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

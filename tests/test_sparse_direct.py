@@ -108,6 +108,55 @@ def test_host_sparse_random_sparsity_goes_direct():
     kkt_check(Q.toarray(), Ar.toarray(), q, -u, u, r.x, r.y, tol=1e-5)
 
 
+@pytest.mark.parametrize("proximal,scaling", [(True, 2), (False, 0)])
+def test_kkt_mode_matches_schur_iterate_for_iterate(proximal, scaling):
+    """FACTORIZE_KKT factors the quasi-definite augmented system (reference
+    qpalm_form_kkt, solver_interface.c:119-169) — the same Newton equation
+    as the Schur form, so iterates and counts must match to rounding."""
+    Q, A, q, bl, bu = random_convex_qp(28, 42, seed=17, density=0.5)
+    base = dict(eps_abs=1e-6, eps_rel=1e-6, proximal=proximal,
+                scaling=scaling, verbose=False)
+    rs = solve_sparse_direct(
+        sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu,
+        Settings(factorization_method=C.FACTORIZE_SCHUR, **base))
+    rk = solve_sparse_direct(
+        sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu,
+        Settings(factorization_method=C.FACTORIZE_KKT, **base))
+    assert rk.status == C.QPALM_SOLVED
+    assert rk.iterations == rs.iterations
+    assert np.abs(rk.x - rs.x).max() < 1e-8
+    kkt_check(Q, A, q, bl, bu, rk.x, rk.y, tol=1e-5)
+
+
+def test_kkt_or_schur_picks_kkt_for_dense_rows():
+    """A handful of dense rows in A make A'A (the Schur pattern) fully
+    dense while the KKT pattern stays O(nnz): the auto rule must pick KKT
+    and the solve must stay correct (the reference's FACTORIZE_KKT raison
+    d'etre, solver_interface.c:20-75)."""
+    rng = np.random.default_rng(0)
+    n, m = 600, 40
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    Q = (L @ L + 0.1 * sp.eye(n)).tocsc()
+    A = sp.vstack([
+        sp.diags(np.ones(m - 4), 0, shape=(m - 4, n)),
+        sp.csc_matrix(rng.standard_normal((4, n)) / np.sqrt(n)),
+    ]).tocsc()
+    f_schur = sparse_direct.SparseLDL((Q + A.T @ A + sp.eye(n)).tocsc())
+    f_kkt = sparse_direct.SparseLDL(
+        sp.bmat([[Q + sp.eye(n), A.T], [A, sp.eye(m)]], format="csc"))
+    assert f_kkt.lnz * 10 < f_schur.lnz  # the fill gap the rule must see
+    q = rng.standard_normal(n)
+    u = 1 + rng.random(m)
+    r = solve_sparse_direct(Q, A, q, -u, u, eps_abs=1e-6, eps_rel=1e-6,
+                            verbose=False)  # default: KKT_OR_SCHUR
+    assert r.status == C.QPALM_SOLVED
+    r2 = solve_sparse_direct(Q, A, q, -u, u, eps_abs=1e-6, eps_rel=1e-6,
+                             verbose=False,
+                             factorization_method=C.FACTORIZE_SCHUR)
+    assert np.abs(r.x - r2.x).max() < 1e-8
+
+
 @pytest.mark.parametrize("proximal,scaling", [
     (True, 2), (False, 0), (True, 0), (False, 2),
 ])
