@@ -78,6 +78,10 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.sldl_free.argtypes = [ctypes.c_void_p]
     lib.sldl_use_blas.restype = ctypes.c_int
     lib.sldl_use_blas.argtypes = [ctypes.c_char_p]
+    lib.amd_order.restype = ctypes.c_int
+    lib.amd_order.argtypes = [ctypes.c_int, _IP, _IP, _IP]
+    lib.ldl_count_fill.restype = ctypes.c_long
+    lib.ldl_count_fill.argtypes = [ctypes.c_int, _IP, _IP]
     _point_at_fast_blas(lib)
     _lib = lib
     return lib
@@ -125,9 +129,14 @@ class SparseLDL:
         (native/sparse_ldl_sn.cpp, left-looking with BLAS dgemm panels) wins
         when fill makes the mean L column long.  'auto' runs the cheap
         simplicial symbolic analysis and picks by mean column count.
+    ordering : 'auto' | 'amd' | 'rcm' | 'none'.  'amd' is the native
+        approximate-minimum-degree (native/amd_order.cpp — the reference's
+        LADEL ordering, solver_interface.c:336); 'rcm' scipy reverse
+        Cuthill-McKee; 'auto' (default) computes both and keeps whichever
+        gives less exact fill (one O(nnz) etree count per candidate).
     """
 
-    def __init__(self, pattern, ordering: str = "rcm",
+    def __init__(self, pattern, ordering: str = "auto",
                  method: str = "auto"):
         lib = load_library()
         if lib is None:
@@ -136,12 +145,7 @@ class SparseLDL:
         self._h = None
         M = sp.csc_matrix(pattern)
         n = M.shape[0]
-        if ordering == "rcm":
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-            perm = np.asarray(reverse_cuthill_mckee(M, symmetric_mode=True))
-        else:
-            perm = np.arange(n)
+        perm = self._pick_ordering(M, ordering)
         self.perm = perm
         self.iperm = np.argsort(perm)
         Mp = M[perm][:, perm]
@@ -184,6 +188,47 @@ class SparseLDL:
         # entries, so a zero-pattern union cannot be used for alignment)
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(self._Tp))
         self._keys = cols * np.int64(n) + self._Ti.astype(np.int64)
+
+    def _pick_ordering(self, M, ordering: str) -> np.ndarray:
+        n = M.shape[0]
+        if ordering == "none":
+            return np.arange(n)
+
+        def rcm_perm():
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            return np.asarray(reverse_cuthill_mckee(M, symmetric_mode=True))
+
+        def amd_perm():
+            Ap = np.ascontiguousarray(M.indptr, np.int32)
+            Ai = np.ascontiguousarray(M.indices, np.int32)
+            perm = np.zeros(n, np.int32)
+            if self._lib.amd_order(n, Ap, Ai, perm) != 0:
+                raise RuntimeError("amd_order failed")
+            return perm.astype(np.int64)
+
+        if ordering == "rcm":
+            return rcm_perm()
+        if ordering == "amd":
+            return amd_perm()
+        # auto: exact fill of each candidate via the etree count
+        candidates = []
+        try:
+            candidates.append(amd_perm())
+        except Exception:
+            pass
+        candidates.append(rcm_perm())
+        if len(candidates) == 1:
+            return candidates[0]
+        best, best_fill = None, None
+        for p in candidates:
+            Mp = sp.csc_matrix(M[p][:, p])
+            fill = int(self._lib.ldl_count_fill(
+                n, np.ascontiguousarray(Mp.indptr, np.int32),
+                np.ascontiguousarray(Mp.indices, np.int32)))
+            if best_fill is None or (0 <= fill < best_fill):
+                best, best_fill = p, fill
+        return best
 
     @property
     def lnz(self) -> int:

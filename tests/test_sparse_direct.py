@@ -70,6 +70,45 @@ def test_supernodal_matches_simplicial_and_dense():
         assert np.abs(fs.solve(b) - xd).max() < 1e-8 * (1 + np.abs(xd).max())
 
 
+def test_amd_ordering_valid_and_beats_rcm_on_random_patterns():
+    """native AMD (approximate minimum degree, the reference's LADEL
+    ordering: solver_interface.c:336) must emit a valid permutation and,
+    on irregular sparsity, produce less LDL' fill than RCM; the 'auto'
+    ordering must pick whichever candidate fills less."""
+    for n, dens, seed in [(300, 0.01, 1), (800, 0.004, 2)]:
+        M = _random_spd_csc(n, dens, seed)
+        f_amd = sparse_direct.SparseLDL(M, ordering="amd")
+        assert sorted(np.asarray(f_amd.perm).tolist()) == list(range(n))
+        f_rcm = sparse_direct.SparseLDL(M, ordering="rcm")
+        assert f_amd.lnz < f_rcm.lnz, (n, f_amd.lnz, f_rcm.lnz)
+        f_auto = sparse_direct.SparseLDL(M, ordering="auto")
+        assert f_auto.lnz <= min(f_amd.lnz, f_rcm.lnz)
+        # factorization through the AMD permutation stays correct
+        rng = np.random.default_rng(seed)
+        b = rng.standard_normal(n)
+        f_amd.factor(M, shift=0.1)
+        x = f_amd.solve(b)
+        xd = np.linalg.solve(M.toarray() + 0.1 * np.eye(n), b)
+        assert np.abs(x - xd).max() < 1e-8 * (1 + np.abs(xd).max())
+
+
+def test_amd_handles_structured_and_edge_patterns():
+    # banded (RCM's home turf): AMD must stay valid and competitive
+    n = 400
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    M = (L @ L + sp.eye(n)).tocsc()
+    f = sparse_direct.SparseLDL(M, ordering="amd")
+    assert sorted(np.asarray(f.perm).tolist()) == list(range(n))
+    f_rcm = sparse_direct.SparseLDL(M, ordering="rcm")
+    assert f.lnz <= 3 * f_rcm.lnz
+    # diagonal-only and tiny patterns
+    for D in (sp.eye(5).tocsc(), sp.csc_matrix(np.ones((1, 1)))):
+        fd = sparse_direct.SparseLDL(D, ordering="amd")
+        assert sorted(np.asarray(fd.perm).tolist()) == list(
+            range(D.shape[0]))
+
+
 def test_supernodal_auto_selection_and_breakdown():
     # heavy fill -> auto picks supernodal; banded -> simplicial
     M = _random_spd_csc(300, 0.05, seed=9)
