@@ -114,6 +114,13 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     elif settings_kw:
         settings = settings.replace(**settings_kw)
     validate_settings(settings)
+    if settings.nonconvex:
+        # the host path has no LOBPCG gamma pinning, and an indefinite Q
+        # breaks the no-pivot LDL' (Schur PD-ness / KKT quasi-definiteness
+        # both need Q + (1/gamma) I > 0) — use the device solver
+        # (Settings(nonconvex=True)) for nonconvex problems
+        raise ValueError("solve_sparse_direct supports convex problems "
+                         "only; use the device solver for nonconvex=True")
     Q = sp.csc_matrix(Q).astype(np.float64)
     A = sp.csc_matrix(A).astype(np.float64)
     q = np.asarray(q, np.float64).ravel().copy()

@@ -128,6 +128,11 @@ def main():
         "Protocols: reference simulations/randomQP.m:22-47, lasso.m,",
         "portfolio.m at the MM tolerance.",
         "",
+        "Conservative path: this sweep rides the general vmapped XLA",
+        "loop at a single batch per config (dispatch/latency dominated",
+        "at small sizes).  The fused-kernel pipeline (bench.py) is the",
+        "headline throughput path.",
+        "",
         "| family | size | batch | certified | solves/s | baseline "
         "solves/s | speedup |",
         "|---|---|---|---|---|---|---|",
