@@ -153,7 +153,6 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
         and settings.factorization_method in (
             C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR
         )
-        and not settings.enable_dual_termination
         and settings.time_limit >= C.QPALM_INFTY
         and settings.max_refine == 0
         and settings.unroll == 1

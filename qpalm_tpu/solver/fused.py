@@ -24,8 +24,9 @@ starts, BOTH infeasibility certificates computed in-kernel
 (termination.c:136-240) with the Farkas vectors returned per lane, and
 nonconvex solves (per-lane LOBPCG gamma pins as `_GAMMA`/`_GAMMA_MAX`
 scalar rows, the eps_k proximal-center ladder in `_EPSK_*` rows,
-nonconvex.c:171-183 + qpalm.c:586-609).  Out of scope (use the general
-solver): dual-objective termination, KKT/CG/STAGE modes.
+nonconvex.c:171-183 + qpalm.c:586-609), and dual-objective termination
+(in-kernel Q-Cholesky + solve on outer trips, iteration.c:272-299).
+Out of scope (use the general solver): KKT/CG/STAGE factorization modes.
 `solve_batch_fused` wires the kernel into the stacked-batch flow.
 
 Reference anchors: iteration math src/iteration.c:24-229, termination
@@ -52,7 +53,7 @@ LANES = 128  # problems per kernel program (= VPU lane width)
 # scalar-state rows (SC ref layout, one row per per-lane scalar)
 _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _GAMMA_MAXED, _ITER_OUT, _GERSH, _NB_CHANGED, _PRI_NORM, _DUA_NORM, \
-    _STATUS, _GAMMA_MAX, _EPSK_ABS, _EPSK_REL, _SC_ROWS = range(18)
+    _STATUS, _GAMMA_MAX, _EPSK_ABS, _EPSK_REL, _COBJ, _SC_ROWS = range(19)
 
 
 def _make_kernel(n: int, m: int, T: int, s: Settings):
@@ -71,6 +72,8 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
     max_iter = int(s.max_iter)
     proximal = bool(s.proximal)
     nonconvex = bool(s.nonconvex)  # implies proximal (wrapper enforces)
+    enable_dual = bool(s.enable_dual_termination)
+    dual_limit = float(s.dual_objective_limit)
 
     def pick(vec_ref_val, iota, k):
         """Row k of a (rows, LANES) value as (1, LANES) via masked reduce."""
@@ -131,34 +134,9 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
 
             jax.lax.fori_loop(0, n, step, 0)
 
-        def newton_solve(gamma_inv):
-            """M = Q + A'diag(w)A (+ gamma_inv I); d = M^{-1} (-dphi).
-            w_s holds the masked sigma, d_s holds -dphi on entry and the
-            direction on exit.  Returns the Gershgorin bound of A'WA."""
-            M_s[:] = Q_ref[:]
-
-            def asm(mi, _):
-                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
-                wrow = w_s[pl.ds(mi, 1), :]                  # (1, LANES)
-                M_s[:] = M_s[:] + (wrow * arow)[:, None, :] * arow[None, :, :]
-                return 0
-
-            jax.lax.fori_loop(0, m, asm, 0)
-            # Gershgorin upper bound of A'WA = M - Q: all entries of a PSD
-            # Gram matrix row; diagonal is >= 0 so plain |.| row sums work
-            G = M_s[:] - Q_ref[:]
-            gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
-                            keepdims=True)                    # (1, LANES)
-            if proximal:
-                # 3-D iota from the start: Mosaic cannot reshape i1
-                # vectors to add a minor dim, so the mask is built f32
-                eyef = (
-                    jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-                    == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-                ).astype(jnp.float32)
-                M_s[:] = M_s[:] + eyef * gamma_inv[None, :, :]
-
-            # in-place Cholesky, upper R with R'R = M, lane-vectorized
+        def chol_solve_Ms_ds():
+            """Factor M_s in place (upper R, R'R = M, lane-vectorized) and
+            solve M_s x = d_s in place."""
             def chol(k, _):
                 row = M_s[pl.ds(k, 1), :, :][0]              # (n, LANES)
                 akk = pick(row, iota_n, k)                   # (1, LANES)
@@ -197,6 +175,35 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 return 0
 
             jax.lax.fori_loop(0, n, bwd, 0)
+
+        def newton_solve(gamma_inv):
+            """M = Q + A'diag(w)A (+ gamma_inv I); d = M^{-1} (-dphi).
+            w_s holds the masked sigma, d_s holds -dphi on entry and the
+            direction on exit.  Returns the Gershgorin bound of A'WA."""
+            M_s[:] = Q_ref[:]
+
+            def asm(mi, _):
+                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
+                wrow = w_s[pl.ds(mi, 1), :]                  # (1, LANES)
+                M_s[:] = M_s[:] + (wrow * arow)[:, None, :] * arow[None, :, :]
+                return 0
+
+            jax.lax.fori_loop(0, m, asm, 0)
+            # Gershgorin upper bound of A'WA = M - Q: all entries of a PSD
+            # Gram matrix row; diagonal is >= 0 so plain |.| row sums work
+            G = M_s[:] - Q_ref[:]
+            gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
+                            keepdims=True)                    # (1, LANES)
+            if proximal:
+                # 3-D iota from the start: Mosaic cannot reshape i1
+                # vectors to add a minor dim, so the mask is built f32
+                eyef = (
+                    jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+                ).astype(jnp.float32)
+                M_s[:] = M_s[:] + eyef * gamma_inv[None, :, :]
+
+            chol_solve_Ms_ds()
             return gersh
 
         def linesearch(eta, beta, sqs, Ad, Ax, y, sig):
@@ -418,6 +425,28 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 sc[_EPSR_IN][None],
             )
 
+            if enable_dual:
+                # dual-objective termination on outer trips (core.py
+                # compute_dual_objective / reference iteration.c:272-299,
+                # checked at qpalm.c's subproblem-converged branch):
+                # v = Q^{-1} g with g = A'yh + q (assumes Q PD — a
+                # non-PD Q NaNs the comparison and never terminates, the
+                # reference's own caveat).  Reuses M_s/d_s, which the
+                # Newton step below rebuilds from scratch anyway.
+                g_dual = Atyh + q
+                M_s[:] = Q_ref[:]
+                d_s[:] = g_dual
+                chol_solve_Ms_ds()
+                g_v = jnp.sum(g_dual * d_s[:], axis=0, keepdims=True)
+                contrib = jnp.sum(
+                    jnp.where(yh > 0, yh * bmax, yh * bmin),
+                    axis=0, keepdims=True,
+                )
+                dobj = (-0.5 * g_v - contrib) * cinv + sc[_COBJ][None]
+                dual_term = b_outer & (dobj > jnp.float32(dual_limit))
+            else:
+                dual_term = jnp.zeros_like(b_outer)
+
             gamma_new = gamma
             Qx_g = Qx
             actold_after = actold_ref[:]
@@ -565,18 +594,25 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
 
             # ---- scalar state (solved lanes stop counting: the reference
             # for-loop does not advance iter on the terminating trip) ----
-            done_new = (done | do_term).astype(jnp.float32)
+            done_new = (done | do_term | dual_term).astype(jnp.float32)
             status_new = jnp.where(
                 solved, jnp.float32(C.QPALM_SOLVED),
                 jnp.where(
                     pinf, jnp.float32(C.QPALM_PRIMAL_INFEASIBLE),
                     jnp.where(
                         dinf, jnp.float32(C.QPALM_DUAL_INFEASIBLE),
-                        sc[_STATUS][None],
+                        jnp.where(
+                            dual_term,
+                            jnp.float32(C.QPALM_DUAL_TERMINATED),
+                            sc[_STATUS][None],
+                        ),
                     ),
                 ),
             )
-            iter_new = sc[_ITER][None] + live.astype(jnp.float32)
+            # the terminating trip is not counted (core.py freezes iter
+            # once done — dual termination sets done inside this trip)
+            iter_new = sc[_ITER][None] + (live & ~dual_term).astype(
+                jnp.float32)
             rows = [
                 (_GAMMA, gamma_new),
                 (_EPSA_IN, epsa_new),
@@ -718,7 +754,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
 
 
 def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None,
-                gamma_init=None, gamma_max=None):
+                gamma_init=None, gamma_max=None, c_lane=None):
     """Cold/warm-start state in lane-last layout (qpalm.c:322-399 and the
     sigma heuristic iteration.c:50-84, matching core.init_state).
 
@@ -762,6 +798,10 @@ def _init_fused(data_t, settings: Settings, x_ws=None, y_ws=None,
     sc = sc.at[_EPSK_ABS].set(settings.eps_abs_in)
     sc = sc.at[_EPSK_REL].set(settings.eps_rel_in)
     sc = sc.at[_STATUS].set(float(C.QPALM_UNSOLVED))
+    if c_lane is not None:
+        # per-lane objective constant, read by the in-kernel dual-objective
+        # termination (sc row is never written by the kernel)
+        sc = sc.at[_COBJ].set(jnp.asarray(c_lane, f32))
     return FusedState(
         x=x, x0=x, Qx=Qx, y=y, Ax=Ax, sigma=sigma,
         pri_res_in=jnp.zeros((m, B), f32),
@@ -810,7 +850,8 @@ def _prepare(data: QPData, settings: Settings, x_ws, y_ws,
     xw = tr(jnp.asarray(x_ws, f32) * scal.Dinv) if has_x else None
     yw = tr(jnp.asarray(y_ws, f32) * scal.Einv * scal.c[:, None]) \
         if has_y else None
-    st = _init_fused(data_t, settings, xw, yw, gamma_init, gamma_max)
+    st = _init_fused(data_t, settings, xw, yw, gamma_init, gamma_max,
+                     c_lane=sdata.c)
     return data_t, scal_t, scal, st
 
 

@@ -203,6 +203,26 @@ def test_fused_nonconvex_matches_general():
                 assert ax[j] < bl[j] + 1e-3, (i, j, yi[j], ax[j])
 
 
+def test_fused_dual_termination_matches_general():
+    """enable_dual_termination runs in-kernel (Q-Cholesky + solve on outer
+    trips, reference iteration.c:272-299): per-lane statuses and iteration
+    counts must equal the general solver's, with some lanes genuinely
+    dual-terminated and others solved."""
+    probs = _probs(90, 16, 24, LANES)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
+                 scaling=2, max_refine=0, delta=10.0,
+                 enable_dual_termination=True, dual_objective_limit=-1.0)
+    data = stack_problems(probs, np.float32)
+    x, y, status, iters, _, _, _, _ = solve_batch_fused(
+        data, s, interpret=True)
+    ref = _general(data, s)
+    assert np.array_equal(np.asarray(status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(iters), np.asarray(ref.iterations))
+    st = np.asarray(status)
+    assert (st == C.QPALM_DUAL_TERMINATED).any()
+    assert (st == C.QPALM_SOLVED).any()
+
+
 def test_fused_routing_eligibility():
     """solve_batch routes to the fused kernel only for eligible configs on
     a TPU backend; `use_fused` overrides behave as documented."""
@@ -216,7 +236,6 @@ def test_fused_routing_eligibility():
     # ineligible configurations fail fast under "always"
     for bad in (
         s.replace(dtype="float64"),
-        s.replace(enable_dual_termination=True),
         s.replace(factorization_method=C.FACTORIZE_CG),
         s.replace(max_refine=2),
     ):
