@@ -28,7 +28,10 @@
 // Input: FULL symmetric CSC pattern (both triangles); diagonal ignored.
 
 #include <algorithm>
+#include <climits>
 #include <vector>
+
+#include "etree_common.h"
 
 namespace {
 
@@ -103,6 +106,10 @@ struct AMD {
       for (int p = Ap[j]; p < Ap[j + 1]; ++p)
         if (Ai[p] != j) nz++;
     iwlen = 2 * nz + 8L * n + 16;
+    // pe[] stores list offsets as int: refuse patterns whose pool could
+    // outgrow INT_MAX rather than silently truncating offsets (the caller
+    // falls back to RCM).  The pool can double once under fill pressure.
+    if (iwlen > (long)INT_MAX / 4) throw std::bad_alloc();
     iw.assign(iwlen, 0);
     pfree = 0;
     for (int j = 0; j < n; ++j) {
@@ -238,26 +245,14 @@ extern "C" int amd_order(int n, const int *Ap, const int *Ai, int *perm) {
 }
 
 // exact LDL' fill (nonzeros of L below the diagonal) of the pattern AS
-// GIVEN — the etree column-count pass alone, no factor allocation.  Lets
-// the Python wrapper compare candidate orderings cheaply.  Accepts full
-// symmetric OR upper-triangular CSC (entries with row >= col are ignored
-// by the count walk).
+// GIVEN — the shared etree column-count pass alone, no factor allocation.
+// Lets the Python wrapper compare candidate orderings cheaply.  Accepts
+// full symmetric OR upper-triangular CSC (entries with row >= col are
+// ignored by the count walk).
 extern "C" long ldl_count_fill(int n, const int *Ap, const int *Ai) {
   try {
-    std::vector<int> parent(n, -1), lnz(n, 0), flag(n, -1);
-    for (int k = 0; k < n; ++k) {
-      parent[k] = -1;
-      flag[k] = k;
-      for (int p = Ap[k]; p < Ap[k + 1]; ++p) {
-        int i = Ai[p];
-        while (i < k && flag[i] != k) {
-          if (parent[i] == -1) parent[i] = k;
-          lnz[i]++;
-          flag[i] = k;
-          i = parent[i];
-        }
-      }
-    }
+    std::vector<int> parent, lnz;
+    etree_column_counts(n, Ap, Ai, parent, lnz);
     long total = 0;
     for (int k = 0; k < n; ++k) total += lnz[k];
     return total;

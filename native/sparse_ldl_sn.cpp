@@ -41,6 +41,8 @@
 
 #include <dlfcn.h>
 
+#include "etree_common.h"
+
 extern "C" {
 void dgemm_(const char *, const char *, const int *, const int *,
             const int *, const double *, const double *, const int *,
@@ -113,28 +115,8 @@ struct SNLDL {
   std::vector<int> relmap;     // global row -> local panel row
   std::vector<int> head, next_sn, cursor;  // descendant lists
   std::vector<double> work;    // dgemm scratch (T and C blocks)
+  std::vector<double> solve_tmp;  // per-supernode gather buffer (solve)
 };
-
-// etree + column counts from an UPPER-triangular CSC pattern
-void etree_counts(int n, const int *Up, const int *Ui,
-                  std::vector<int> &parent, std::vector<int> &Lnz) {
-  parent.assign(n, -1);
-  Lnz.assign(n, 0);
-  std::vector<int> flag(n, -1);
-  for (int k = 0; k < n; ++k) {
-    parent[k] = -1;
-    flag[k] = k;
-    for (int p = Up[k]; p < Up[k + 1]; ++p) {
-      int i = Ui[p];
-      while (i < k && flag[i] != k) {
-        if (parent[i] == -1) parent[i] = k;
-        Lnz[i]++;
-        flag[i] = k;
-        i = parent[i];
-      }
-    }
-  }
-}
 
 // full column-pattern fill: Lcol[j] lists the rows (> j) of L's column j,
 // ascending (built by appending k in increasing-k order)
@@ -173,7 +155,7 @@ bool build(SNLDL &S, int n, const int *Ap, const int *Ai, int max_width,
       for (int p = Ap[j]; p < Ap[j + 1]; ++p) Ui[cur[Ai[p]]++] = j;
   }
   std::vector<int> parent, Lnz, Lp, Li;
-  etree_counts(n, Up.data(), Ui.data(), parent, Lnz);
+  etree_column_counts(n, Up.data(), Ui.data(), parent, Lnz);
   column_patterns(n, Up.data(), Ui.data(), parent, Lnz, Lp, Li);
 
   // supernode partition: extend while the etree chains and the explicit-
@@ -233,6 +215,11 @@ bool build(SNLDL &S, int n, const int *Ap, const int *Ai, int max_width,
   S.head.assign(S.nsuper, -1);
   S.next_sn.assign(S.nsuper, -1);
   S.cursor.assign(S.nsuper, 0);
+  int max_nb = 0;
+  for (int s = 0; s < S.nsuper; ++s)
+    max_nb = std::max(max_nb, (S.rp[s + 1] - S.rp[s])
+                                  - (S.scol[s + 1] - S.scol[s]));
+  S.solve_tmp.assign(std::max(max_nb, 1), 0.0);
   (void)true_nz;
   return true;
 }
@@ -340,7 +327,7 @@ int factorize(SNLDL &S, const int *Ap, const int *Ai, const double *Ax,
 void solve(SNLDL &S, double *b) {
   const int ione = 1;
   const double one = 1.0, mone = -1.0;
-  std::vector<double> tmp;
+  std::vector<double> &tmp = S.solve_tmp;
   // forward: L z = b
   for (int s = 0; s < S.nsuper; ++s) {
     const int c0 = S.scol[s], w = S.scol[s + 1] - c0;

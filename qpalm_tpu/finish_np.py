@@ -228,7 +228,9 @@ def palm_finish_np(
         # ---- inner Newton step (iteration.c:213-229, newton.c:96-113) ----
         # an outer-update trip takes no Newton step (core.py's lax.switch
         # picks exactly one branch per iteration) — outer lanes sit this
-        # one out and re-enter next trip with the refreshed y/x0/sigma
+        # one out and re-enter next trip with the refreshed y/x0/sigma.
+        # The O(n^3) factor/solve and matvecs run on the INNER lanes only
+        # (gather/scatter): done and outer lanes would discard the work
         inner = live & ~outer
         active = (Axys <= bmin) | (Axys >= bmax)
         changed = (active != act_old).sum(axis=1)
@@ -236,31 +238,34 @@ def palm_finish_np(
                              np.where(changed > 0, 0, no_change + 1),
                              no_change)
         act_old = np.where(inner[:, None], active, act_old)
-        w = np.where(active, sigma, 0.0)
-        Aw = A * w[:, :, None]
-        M = Q + np.matmul(A.transpose(0, 2, 1), Aw) \
-            + (1.0 / gamma)[:, None, None] * eye
-        d = np.linalg.solve(M, -dphi[:, :, None])[:, :, 0]
-        Qd = np.einsum("bij,bj->bi", Q, d) + d / gamma[:, None]
-        Ad = np.einsum("bmn,bn->bm", A, d)
+        idx = np.where(inner)[0]
+        if len(idx) == 0:
+            continue
+        Qi, Ai, gi = Q[idx], A[idx], gamma[idx]
+        sigi, yi, Axi = sigma[idx], y[idx], Ax[idx]
+        w = np.where(active[idx], sigi, 0.0)
+        Aw = Ai * w[:, :, None]
+        M = Qi + np.matmul(Ai.transpose(0, 2, 1), Aw) \
+            + (1.0 / gi)[:, None, None] * eye
+        d = np.linalg.solve(M, -dphi[idx, :, None])[:, :, 0]
+        Qd = np.einsum("bij,bj->bi", Qi, d) + d / gi[:, None]
+        Ad = np.einsum("bmn,bn->bm", Ai, d)
 
         eta = np.einsum("bi,bi->b", d, Qd)
-        beta = np.einsum("bi,bi->b", d, df)
-        ss = np.sqrt(sigma)
+        beta = np.einsum("bi,bi->b", d, df[idx])
+        ss = np.sqrt(sigi)
         s_ad = ss * Ad
+        bl = np.maximum(bmin[idx], -C.QPALM_INFTY)
+        bu = np.minimum(bmax[idx], C.QPALM_INFTY)
         bp_delta = np.concatenate([-s_ad, s_ad], axis=1)
-        bl = np.maximum(bmin, -C.QPALM_INFTY)
-        bu = np.minimum(bmax, C.QPALM_INFTY)
-        alpha_lo = (y + sigma * (Ax - bl)) / ss
-        alpha_hi = (-y + sigma * (bu - Ax)) / ss
+        alpha_lo = (yi + sigi * (Axi - bl)) / ss
+        alpha_hi = (-yi + sigi * (bu - Axi)) / ss
         bp_alpha = np.concatenate([alpha_lo, alpha_hi], axis=1)
         tau = _linesearch_bisection_np(eta, beta, bp_delta, bp_alpha)
 
-        upd = inner[:, None]
-        x = np.where(upd, x + tau[:, None] * d, x)
-        Qx = np.where(upd, Qx + tau[:, None] * (Qd - d / gamma[:, None]),
-                      Qx)
-        Ax = np.where(upd, Ax + tau[:, None] * Ad, Ax)
+        x[idx] += tau[:, None] * d
+        Qx[idx] += tau[:, None] * (Qd - d / gi[:, None])
+        Ax[idx] += tau[:, None] * Ad
 
     # unconverged lanes report their latest dual estimate
     y_out = np.where((status == C.QPALM_SOLVED)[:, None], y_out, y)

@@ -38,18 +38,34 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    lib = _load_and_bind(rebuild=not os.path.exists(_LIB_PATH))
+    if lib is None and os.path.exists(_LIB_PATH):
+        # a stale .so from an older commit lacks the newer symbols
+        # (sldl_*/amd_order): force a rebuild and retry once
+        lib = _load_and_bind(rebuild=True)
+    _lib = lib
+    return lib
+
+
+def _load_and_bind(rebuild: bool) -> Optional[ctypes.CDLL]:
+    if rebuild:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
             return None
-        if not os.path.exists(_LIB_PATH):
-            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        _bind_symbols(lib)
+    except (OSError, AttributeError):
         return None
+    _point_at_fast_blas(lib)
+    return lib
+
+
+def _bind_symbols(lib) -> None:
     lib.ldl_symbolic.restype = ctypes.c_void_p
     lib.ldl_symbolic.argtypes = [ctypes.c_int, _IP, _IP]
     lib.ldl_numeric.restype = ctypes.c_int
@@ -82,9 +98,6 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.amd_order.argtypes = [ctypes.c_int, _IP, _IP, _IP]
     lib.ldl_count_fill.restype = ctypes.c_long
     lib.ldl_count_fill.argtypes = [ctypes.c_int, _IP, _IP]
-    _point_at_fast_blas(lib)
-    _lib = lib
-    return lib
 
 
 def _point_at_fast_blas(lib) -> None:
@@ -226,9 +239,11 @@ class SparseLDL:
             fill = int(self._lib.ldl_count_fill(
                 n, np.ascontiguousarray(Mp.indptr, np.int32),
                 np.ascontiguousarray(Mp.indices, np.int32)))
-            if best_fill is None or (0 <= fill < best_fill):
+            if fill < 0:
+                continue  # native count failed: skip this candidate
+            if best_fill is None or fill < best_fill:
                 best, best_fill = p, fill
-        return best
+        return best if best is not None else candidates[-1]
 
     @property
     def lnz(self) -> int:
@@ -274,6 +289,9 @@ class SparseLDL:
         fn = (self._lib.sldl_numeric if self.method == "supernodal"
               else self._lib.ldl_numeric)
         status = fn(self._h, self._Tp, self._Ti, vals, float(shift))
+        if status < 0:
+            # native exception (e.g. allocation failure), not a zero pivot
+            raise RuntimeError("native LDL numeric factorization failed")
         if status != 0:
             raise np.linalg.LinAlgError(
                 f"LDL numeric breakdown at column {status - 1}"
