@@ -98,6 +98,15 @@ def _bind_symbols(lib) -> None:
     lib.amd_order.argtypes = [ctypes.c_int, _IP, _IP, _IP]
     lib.ldl_count_fill.restype = ctypes.c_long
     lib.ldl_count_fill.argtypes = [ctypes.c_int, _IP, _IP]
+    # batched symmetric-indefinite KKT solves (polish hot path)
+    lib.bkkt_use_lapack.restype = ctypes.c_int
+    lib.bkkt_use_lapack.argtypes = [ctypes.c_char_p]
+    lib.bkkt_factor_solve.restype = ctypes.c_int
+    lib.bkkt_factor_solve.argtypes = [ctypes.c_int, ctypes.c_int, _DP,
+                                      _IP, _DP, _IP]
+    lib.bkkt_resolve.restype = ctypes.c_int
+    lib.bkkt_resolve.argtypes = [ctypes.c_int, ctypes.c_int, _DP, _IP,
+                                 _DP, _IP]
 
 
 def _point_at_fast_blas(lib) -> None:
@@ -119,6 +128,7 @@ def _point_at_fast_blas(lib) -> None:
             if "64_" not in os.path.basename(p)]
     for path in candidates:
         if lib.sldl_use_blas(path.encode()) == 0:
+            lib.bkkt_use_lapack(path.encode())
             return
 
 

@@ -53,6 +53,18 @@ class PolishResult(NamedTuple):
 _DELTA_REG = 1e-9  # KKT regularization; removed by iterative refinement
 
 
+def _bkkt_lib():
+    """The native batched symmetric-indefinite solver (Bunch-Kaufman
+    dsytrf/dsytrs, native/batch_kkt.cpp): half the FLOPs of numpy's
+    batched LU on the symmetric polish KKT systems, with factor reuse
+    for the refinement re-solves.  None when the native lib is absent."""
+    from .linalg.sparse_direct import load_library
+
+    lib = load_library()
+    return lib if lib is not None and hasattr(lib, "bkkt_factor_solve") \
+        else None
+
+
 def _polish_one(data: QPData, x0, y0, eps_abs, eps_rel, act_tol, rounds,
                 refine_steps):
     """Polish a single lane (vmapped by `polish_batch`)."""
@@ -266,14 +278,47 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
             Asub, bsub, mc = A, b_side, m
         wc = sel if compress else act
         Aact = Asub * wc[:, :, None].astype(Q.dtype)
-        K = np.zeros((B, n + mc, n + mc), Q.dtype)
-        K[:, :n, :n] = Q
-        K[:, :n, n:] = Aact.transpose(0, 2, 1)
-        K[:, n:, :n] = Aact
-        dix = np.arange(mc)
-        K[:, n + dix, n + dix] = np.where(wc, -_DELTA_REG, 1.0)
+        nk = n + mc
+
+        def build_K():
+            K = np.zeros((B, nk, nk), Q.dtype)
+            K[:, :n, :n] = Q
+            K[:, :n, n:] = Aact.transpose(0, 2, 1)
+            K[:, n:, :n] = Aact
+            dix = np.arange(mc)
+            K[:, n + dix, n + dix] = np.where(wc, -_DELTA_REG, 1.0)
+            return K
+
+        K = build_K()
         rhs = np.concatenate([-q, np.where(wc, bsub, 0.0)], axis=1)
-        sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]
+        # native Bunch-Kaufman path (compress only — the compress=False
+        # path stays the exact operation-for-operation twin of the jitted
+        # polish, numpy LU included)
+        lib = _bkkt_lib() if compress else None
+        sol = resolve = None
+        if lib is not None:
+            ipiv = np.empty((B, nk), np.int32)
+            failv = np.empty(B, np.int32)
+            sol_n = rhs.copy()
+            nf = lib.bkkt_factor_solve(B, nk, K, ipiv, sol_n, failv)
+            if nf == 0:
+                sol = sol_n
+
+                def resolve(r):
+                    rc = np.ascontiguousarray(r)
+                    ok = lib.bkkt_resolve(B, nk, K, ipiv, rc, failv)
+                    # on the (never-observed) re-solve failure, skip the
+                    # correction: the KKT check still gates the result
+                    return rc if ok == 0 else np.zeros_like(rc)
+            else:
+                # rare breakdown: the factor destroyed K in place —
+                # rebuild and take the LU path for the whole chunk
+                K = build_K()
+        if sol is None:
+            sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]
+
+            def resolve(r):
+                return np.linalg.solve(K, r[:, :, None])[:, :, 0]
         for _ in range(refine_steps):
             sx, sn = sol[:, :n], sol[:, n:]
             top = (np.einsum("bij,bj->bi", Q, sx)
@@ -281,7 +326,7 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
             bot = (np.einsum("bmi,bi->bm", Aact, sx)
                    + np.where(wc, 0.0, sn))
             r = rhs - np.concatenate([top, bot], axis=1)
-            sol = sol + np.linalg.solve(K, r[:, :, None])[:, :, 0]
+            sol = sol + resolve(r)
         x = sol[:, :n]
         if compress:
             y = np.zeros((B, m), Q.dtype)

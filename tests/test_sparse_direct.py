@@ -92,6 +92,26 @@ def test_amd_ordering_valid_and_beats_rcm_on_random_patterns():
         assert np.abs(x - xd).max() < 1e-8 * (1 + np.abs(xd).max())
 
 
+def test_amd_fuzz_many_random_patterns():
+    """AMD over a spread of sizes/densities/structures: every output must
+    be a valid permutation and the factorization through it must match a
+    dense solve (an ordering bug can silently degrade QUALITY, so the
+    check is factor+solve, not permutation validity alone)."""
+    rng = np.random.default_rng(0)
+    cases = [(rng.integers(2, 120), rng.uniform(0.01, 0.3), s)
+             for s in range(12)]
+    for n, dens, seed in cases:
+        n = int(n)
+        M = _random_spd_csc(n, float(dens), seed)
+        f = sparse_direct.SparseLDL(M, ordering="amd")
+        assert sorted(np.asarray(f.perm).tolist()) == list(range(n))
+        f.factor(M, shift=0.05)
+        b = np.random.default_rng(seed).standard_normal(n)
+        xd = np.linalg.solve(M.toarray() + 0.05 * np.eye(n), b)
+        assert np.abs(f.solve(b) - xd).max() < 1e-8 * (
+            1 + np.abs(xd).max()), (n, dens, seed)
+
+
 def test_amd_handles_structured_and_edge_patterns():
     # banded (RCM's home turf): AMD must stay valid and competitive
     n = 400
