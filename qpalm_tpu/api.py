@@ -383,11 +383,49 @@ class QPALM:
 
 def solve(Q, A, q, bmin, bmax, c=0.0, settings: Optional[Settings] = None,
           x0=None, y0=None, **settings_kw) -> SolveResult:
-    """One-shot convenience wrapper: setup + (warm start) + solve."""
+    """One-shot convenience wrapper: setup + (warm start) + solve.
+
+    Large scipy-sparse convex problems (n >= 2048 with no explicit
+    factorization_method) route through `solve_sparse_auto`, which picks
+    the native direct LDL' backends (Schur or KKT form, simplicial or
+    supernodal, AMD/RCM ordering) or matrix-free CG by estimated factor
+    cost — the reference's qpalm_qps driver gets this selection through
+    LADEL; here it is the host path (results repackaged as SolveResult)."""
     if settings is None:
         settings = Settings(**settings_kw)
     elif settings_kw:
         settings = settings.replace(**settings_kw)
+    is_scipy = hasattr(Q, "tocoo") and hasattr(A, "tocoo")
+    if (is_scipy and Q.shape[0] >= 2048 and not settings.nonconvex
+            and settings.factorization_method == C.FACTORIZE_KKT_OR_SCHUR
+            and settings.time_limit >= C.QPALM_INFTY):
+        from .host_sparse import solve_sparse_auto
+
+        t0 = time.perf_counter()
+        r = solve_sparse_auto(Q, A, q, bmin, bmax, settings, c=c,
+                              x0=x0, y0=y0)
+        dt = time.perf_counter() - t0
+        nan_n = jnp.full(np.shape(q), jnp.nan)
+        nan_m = jnp.full(np.shape(bmin), jnp.nan)
+        return SolveResult(
+            solution=Solution(x=jnp.asarray(r.x), y=jnp.asarray(r.y)),
+            info=Info(
+                iter=jnp.asarray(r.iterations),
+                iter_out=jnp.asarray(0),
+                status_val=jnp.asarray(r.status),
+                pri_res_norm=jnp.asarray(r.pri_res_norm),
+                dua_res_norm=jnp.asarray(r.dua_res_norm),
+                dua2_res_norm=jnp.asarray(jnp.nan),
+                objective=jnp.asarray(r.objective),
+                dual_objective=jnp.asarray(jnp.nan),
+                setup_time=0.0, solve_time=dt, run_time=dt,
+            ),
+            delta_x=(jnp.asarray(r.delta_x) if r.delta_x is not None
+                     else nan_n),
+            delta_y=(jnp.asarray(r.delta_y) if r.delta_y is not None
+                     else nan_m),
+            state=None,
+        )
     solver = QPALM(Q, A, q, bmin, bmax, c=c, settings=settings)
     if x0 is not None or y0 is not None:
         solver.warm_start(x0, y0)

@@ -92,6 +92,29 @@ def test_amd_ordering_valid_and_beats_rcm_on_random_patterns():
         assert np.abs(x - xd).max() < 1e-8 * (1 + np.abs(xd).max())
 
 
+def test_api_solve_routes_large_sparse_to_direct_path():
+    """qpalm_tpu.solve on a big scipy-sparse convex QP (default settings)
+    must ride solve_sparse_auto (direct LDL'/KKT or CG by factor cost) and
+    return a normal SolveResult — the CLI's large-QPS path."""
+    import qpalm_tpu
+
+    rng = np.random.default_rng(2)
+    n, m = 2100, 800
+    L = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    Q = (L @ L + 1e-4 * sp.eye(n)).tocsc()
+    A = sp.diags([np.ones(m), 0.5 * np.ones(m)], [0, 1],
+                 shape=(m, n)).tocsc()
+    q = rng.standard_normal(n)
+    u = 1 + rng.random(m)
+    r = qpalm_tpu.solve(Q, A, q, -u, u, eps_abs=1e-6, eps_rel=1e-6,
+                        verbose=False)
+    assert r.info.status == "solved"
+    assert float(r.info.run_time) > 0
+    x, y = np.asarray(r.solution.x), np.asarray(r.solution.y)
+    kkt_check(Q.toarray(), A.toarray(), q, -u, u, x, y, tol=1e-5)
+
+
 def test_amd_fuzz_many_random_patterns():
     """AMD over a spread of sizes/densities/structures: every output must
     be a valid permutation and the factorization through it must match a
