@@ -42,7 +42,8 @@ def main():
     import jax.numpy as jnp
 
     from qpalm_tpu import Settings, baseline_c
-    from qpalm_tpu.batch import solve_batch_jit, stack_problems
+    from qpalm_tpu.batch import _fused_eligible, solve_batch_jit, \
+        stack_problems
     from qpalm_tpu.finish_np import palm_finish_np
     from qpalm_tpu.polish import polish_batch_np
     from qpalm_tpu.workloads import lasso, portfolio, random_qp
@@ -75,9 +76,20 @@ def main():
         with jax.default_device(cpu):
             d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
 
+        use_fused = _fused_eligible(s32, Bp, n_pad, m_pad)
+
         def run_pipeline():
-            res = solve_batch_jit(data32, zx, zy, gam, s32, False, False)
-            x32, y32 = jax.device_get((res.x, res.y))
+            # eligible shapes ride the fused Pallas kernel (the headline
+            # path); the rest use the general vmapped XLA loop
+            if use_fused:
+                from qpalm_tpu.solver.fused import fused_solve_jit
+
+                r = fused_solve_jit(data32, zx, zy, s32)
+                x32, y32 = jax.device_get((r[0], r[1]))
+            else:
+                res = solve_batch_jit(data32, zx, zy, gam, s32, False,
+                                      False)
+                x32, y32 = jax.device_get((res.x, res.y))
             pol = polish_batch_np(d64, x32, y32, eps_abs=EPS, eps_rel=EPS,
                                   rounds=2)
             ok = np.asarray(pol.ok)
@@ -109,6 +121,7 @@ def main():
         base = len(sample) / (time.perf_counter() - tb)
         rows.append({
             "family": family, "size": size, "batch": B,
+            "path": "fused" if use_fused else "xla-loop",
             "certified": int(ok.sum()),
             "solves_per_s": round(ours, 1),
             "baseline_solves_per_s": round(base, 1),
@@ -128,18 +141,19 @@ def main():
         "Protocols: reference simulations/randomQP.m:22-47, lasso.m,",
         "portfolio.m at the MM tolerance.",
         "",
-        "Conservative path: this sweep rides the general vmapped XLA",
-        "loop at a single batch per config (dispatch/latency dominated",
-        "at small sizes).  The fused-kernel pipeline (bench.py) is the",
-        "headline throughput path.",
+        "Shapes fitting the fused kernel's VMEM budget ride it (the",
+        "'path' column); the rest use the general vmapped XLA loop.",
+        "Single batch per config: dispatch/latency dominated at the",
+        "small sizes.  The pipelined headline bench is bench.py.",
         "",
-        "| family | size | batch | certified | solves/s | baseline "
-        "solves/s | speedup |",
-        "|---|---|---|---|---|---|---|",
+        "| family | size | batch | path | certified | solves/s | "
+        "baseline solves/s | speedup |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['family']} | {r['size']} | {r['batch']} | "
+            f"{r['path']} | "
             f"{r['certified']}/{r['batch']} | {r['solves_per_s']} | "
             f"{r['baseline_solves_per_s']} | {r['speedup']} |")
     lines.append("")
