@@ -223,6 +223,27 @@ def test_fused_dual_termination_matches_general():
     assert (st == C.QPALM_SOLVED).any()
 
 
+@pytest.mark.parametrize("n,m", [(7, 13), (24, 8), (9, 33)])
+def test_fused_shape_fuzz_matches_general(n, m):
+    """Odd (n, m) shapes (padding exercises every masked edge): statuses
+    and solutions must match the general solver; iteration counts must
+    match on all but a rare tolerance-boundary lane (f32 residual-norm op
+    order differs between the two paths, so a lane sitting exactly on the
+    inner tolerance can flip one outer cycle — same caveat as the
+    warm-start parity test)."""
+    probs = _probs(500 + n * m, n, m, LANES)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
+                 scaling=2, max_refine=0, delta=10.0)
+    data = stack_problems(probs, np.float32)
+    x, y, status, iters, _, _, _, _ = solve_batch_fused(
+        data, s, interpret=True)
+    ref = _general(data, s)
+    assert np.array_equal(np.asarray(status), np.asarray(ref.status))
+    drift = np.asarray(iters) != np.asarray(ref.iterations)
+    assert drift.sum() <= max(2, LANES // 50), np.where(drift)[0]
+    assert np.max(np.abs(np.asarray(x) - np.asarray(ref.x))) < 1e-4
+
+
 def test_fused_routing_eligibility():
     """solve_batch routes to the fused kernel only for eligible configs on
     a TPU backend; `use_fused` overrides behave as documented."""
