@@ -42,7 +42,8 @@ __version__ = "0.1.0"
 # lightweight): batch solving, workload generators, IO drivers,
 # multi-device distribution, checkpointing, reference-binding compat
 from . import batch, checkpoint, compat, diff, host_sparse, io, parallel, workloads  # noqa: E402
-from .host_sparse import solve_sparse_auto, solve_sparse_direct  # noqa: E402
+from .host_sparse import (SparseQPALM, solve_sparse_auto,  # noqa: E402
+                          solve_sparse_direct)
 
 __all__ = [
     "QPALM",
@@ -58,6 +59,7 @@ __all__ = [
     "host_sparse",
     "solve_sparse_direct",
     "solve_sparse_auto",
+    "SparseQPALM",
     "FACTORIZE_KKT",
     "FACTORIZE_SCHUR",
     "FACTORIZE_KKT_OR_SCHUR",

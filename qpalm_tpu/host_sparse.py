@@ -85,6 +85,7 @@ def _linesearch(d, Qd, Ad, df, Ax, y, sigma, sqs, bmin, bmax):
 
 def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                         = None, c: float = 0.0, x0=None, y0=None,
+                        reuse: Optional[dict] = None,
                         **settings_kw) -> HostResult:
     """Solve one sparse QP on the host with the native LDL' Newton backend.
 
@@ -163,27 +164,37 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     cinv = 1.0 / cost
 
     # ---- symbolic analysis on the all-active superset pattern -------------
+    # (cached across parametric re-solves via `reuse`: q/bound updates keep
+    # the pattern, so the etree/supernode/ordering work — the expensive
+    # setup half — is done once, like the reference's persistent
+    # work->solver->sym across qpalm_update_* calls)
     At = A.T.tocsc()
     fm = s.factorization_method
-    ldl = ldl_kkt = None
-    if fm != C.FACTORIZE_KKT:  # Schur covers every non-KKT mode here
-        pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
-        ldl = SparseLDL(pattern)
-    if fm in (C.FACTORIZE_KKT, C.FACTORIZE_KKT_OR_SCHUR):
-        kkt_pattern = sp.bmat(
-            [[Q + sp.eye(n), At], [A, sp.eye(m)]], format="csc"
-        )
-        ldl_kkt = SparseLDL(kkt_pattern)
-    if fm == C.FACTORIZE_KKT_OR_SCHUR:
-        # keep the cheaper factor: estimated FLOPs ~ 2*lnz^2/size (the
-        # exact-fill analogue of the reference's nnz rule,
-        # solver_interface.c:62-65)
-        schur_flops = 2.0 * ldl.lnz ** 2 / max(n, 1)
-        kkt_flops = 2.0 * ldl_kkt.lnz ** 2 / max(n + m, 1)
-        if kkt_flops < schur_flops:
-            ldl = None
-        else:
-            ldl_kkt = None
+    if reuse is not None and reuse.get("fm") == fm:
+        ldl = reuse["ldl"]
+        ldl_kkt = reuse["ldl_kkt"]
+    else:
+        ldl = ldl_kkt = None
+        if fm != C.FACTORIZE_KKT:  # Schur covers every non-KKT mode here
+            pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
+            ldl = SparseLDL(pattern)
+        if fm in (C.FACTORIZE_KKT, C.FACTORIZE_KKT_OR_SCHUR):
+            kkt_pattern = sp.bmat(
+                [[Q + sp.eye(n), At], [A, sp.eye(m)]], format="csc"
+            )
+            ldl_kkt = SparseLDL(kkt_pattern)
+        if fm == C.FACTORIZE_KKT_OR_SCHUR:
+            # keep the cheaper factor: estimated FLOPs ~ 2*lnz^2/size (the
+            # exact-fill analogue of the reference's nnz rule,
+            # solver_interface.c:20-75)
+            schur_flops = 2.0 * ldl.lnz ** 2 / max(n, 1)
+            kkt_flops = 2.0 * ldl_kkt.lnz ** 2 / max(n + m, 1)
+            if kkt_flops < schur_flops:
+                ldl = None
+            else:
+                ldl_kkt = None
+        if reuse is not None:
+            reuse.update(fm=fm, ldl=ldl, ldl_kkt=ldl_kkt)
     use_kkt = ldl_kkt is not None
     eye_n = sp.eye(n, format="csc")
 
@@ -433,6 +444,62 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         delta_y=delta_y_cert,
         delta_x=delta_x_cert,
     )
+
+
+class SparseQPALM:
+    """Stateful sparse-direct solver: the reference qpalm_setup /
+    qpalm_warm_start / qpalm_update_* / qpalm_solve lifecycle
+    (include/qpalm.h:43-138) on the host sparse path.
+
+    The symbolic analysis (etree, supernode partition, fill-reducing
+    ordering, KKT-vs-Schur choice) is done once at construction and
+    reused across `update_q`/`update_bounds` re-solves — q and bound
+    updates keep the sparsity pattern, exactly the economy the reference
+    gets from its persistent symbolic factorization across
+    qpalm_update_* calls (solver_interface.c:319-405)."""
+
+    def __init__(self, Q, A, q, bmin, bmax,
+                 settings: Optional[Settings] = None, c: float = 0.0,
+                 **settings_kw):
+        if settings is None:
+            settings = Settings(**settings_kw)
+        elif settings_kw:
+            settings = settings.replace(**settings_kw)
+        self.settings = settings
+        self.Q = sp.csc_matrix(Q)
+        self.A = sp.csc_matrix(A)
+        self.q = np.asarray(q, np.float64).ravel().copy()
+        self.bmin = np.asarray(bmin, np.float64).ravel().copy()
+        self.bmax = np.asarray(bmax, np.float64).ravel().copy()
+        self.c = float(c)
+        self._reuse: dict = {}
+        self._x0 = self._y0 = None
+
+    def warm_start(self, x0=None, y0=None) -> None:
+        self._x0 = None if x0 is None else np.asarray(x0, np.float64)
+        self._y0 = None if y0 is None else np.asarray(y0, np.float64)
+
+    def update_q(self, q) -> None:
+        self.q = np.asarray(q, np.float64).ravel().copy()
+
+    def update_bounds(self, bmin=None, bmax=None) -> None:
+        if bmin is not None:
+            self.bmin = np.asarray(bmin, np.float64).ravel().copy()
+        if bmax is not None:
+            self.bmax = np.asarray(bmax, np.float64).ravel().copy()
+
+    def update_settings(self, **kw) -> None:
+        self.settings = self.settings.replace(**kw)
+
+    def solve(self) -> HostResult:
+        r = solve_sparse_direct(
+            self.Q, self.A, self.q, self.bmin, self.bmax, self.settings,
+            c=self.c, x0=self._x0, y0=self._y0, reuse=self._reuse,
+        )
+        # successive solves warm-start from the last iterate, like the
+        # reference python binding's stateful usage
+        self._x0, self._y0 = r.x, r.y
+        return r
 
 
 def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]

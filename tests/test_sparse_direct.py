@@ -92,6 +92,42 @@ def test_amd_ordering_valid_and_beats_rcm_on_random_patterns():
         assert np.abs(x - xd).max() < 1e-8 * (1 + np.abs(xd).max())
 
 
+def test_sparse_qpalm_lifecycle_reuses_symbolic():
+    """SparseQPALM: setup / solve / update_q / update_bounds / re-solve
+    (reference qpalm.h lifecycle on the sparse path).  The symbolic
+    analysis must be built once and reused, re-solves must warm start
+    (fewer iterations), and every solution must match a fresh
+    solve_sparse_direct on the updated data."""
+    from qpalm_tpu import SparseQPALM
+
+    rng = np.random.default_rng(6)
+    n, m = 60, 90
+    Q, A, q, bl, bu = random_convex_qp(n, m, seed=61, density=0.3)
+    Qc, Ac = sp.csc_matrix(Q), sp.csc_matrix(A)
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    solver = SparseQPALM(Qc, Ac, q, bl, bu, settings=s)
+    r1 = solver.solve()
+    assert r1.status == C.QPALM_SOLVED
+    handle1 = solver._reuse["ldl"], solver._reuse["ldl_kkt"]
+
+    q2 = q + 0.1 * rng.standard_normal(n)
+    solver.update_q(q2)
+    r2 = solver.solve()
+    assert r2.status == C.QPALM_SOLVED
+    assert (solver._reuse["ldl"], solver._reuse["ldl_kkt"]) == handle1
+    fresh = solve_sparse_direct(Qc, Ac, q2, bl, bu, s)
+    assert np.abs(r2.x - fresh.x).max() < 1e-5
+    assert r2.iterations <= fresh.iterations  # warm start pays
+
+    bl3, bu3 = bl - 0.05, bu + 0.05
+    solver.update_bounds(bl3, bu3)
+    r3 = solver.solve()
+    assert r3.status == C.QPALM_SOLVED
+    fresh3 = solve_sparse_direct(Qc, Ac, q2, bl3, bu3, s)
+    assert np.abs(r3.x - fresh3.x).max() < 1e-5
+    kkt_check(Q, A, q2, bl3, bu3, r3.x, r3.y, tol=1e-5)
+
+
 def test_api_solve_routes_large_sparse_to_direct_path():
     """qpalm_tpu.solve on a big scipy-sparse convex QP (default settings)
     must ride solve_sparse_auto (direct LDL'/KKT or CG by factor cost) and
