@@ -190,7 +190,7 @@ class SequentialMPC:
     chain80w/randomMPCsequential protocol (chain80w.m:86-120)."""
 
     def __init__(self, n_masses=6, horizon=10, seed=0, settings=None,
-                 stage_structured=False):
+                 stage_structured=False, backend="device"):
         from . import constants as C
         from .api import QPALM
         from .types import Settings
@@ -203,6 +203,22 @@ class SequentialMPC:
             eps_abs=1e-6, eps_rel=1e-6, proximal=False, scaling=2,
             verbose=False,
         )
+        self._sparse = backend == "sparse"
+        if self._sparse:
+            # host sparse-direct lifecycle: symbolic analysis reused
+            # across the receding-horizon bound updates (SparseQPALM)
+            import scipy.sparse as sp
+
+            from .host_sparse import SparseQPALM
+
+            self.solver = SparseQPALM(
+                sp.csc_matrix(H), sp.csc_matrix(A), q, bmin, bmax,
+                settings=settings,
+            )
+            self._perm = None
+            self.x = meta["x0"].copy()
+            self._prev = None
+            return
         self._perm = None
         if stage_structured:
             # stage-interleave the variables so the Newton system is
@@ -227,8 +243,18 @@ class SequentialMPC:
         nx, nu, N = meta["nx"], meta["nu"], meta["N"]
         if self._prev is not None:
             self.solver.warm_start(self._prev[0], self._prev[1])
-        res = self.solver.solve()
-        z_solver = res.solution.x
+        if self._sparse:
+            r = self.solver.solve()
+            from . import constants as C
+
+            res_status = C.STATUS_STRINGS.get(r.status, "?")
+            res_iter = r.iterations
+            z_solver, y_solver = r.x, r.y
+        else:
+            res = self.solver.solve()
+            res_status = res.info.status
+            res_iter = int(res.info.iter)
+            z_solver, y_solver = res.solution.x, res.solution.y
         if self._perm is not None:
             z = np.empty_like(z_solver)
             z[self._perm] = z_solver  # back to [x_1..x_N | u_0..u_{N-1}]
@@ -240,8 +266,8 @@ class SequentialMPC:
         self.bmin[:nx] = meta["Ad"] @ self.x
         self.bmax[:nx] = self.bmin[:nx]
         self.solver.update_bounds(self.bmin, self.bmax)
-        self._prev = (z_solver, res.solution.y)
-        return res.info.status, int(res.info.iter), u0
+        self._prev = (z_solver, y_solver)
+        return res_status, res_iter, u0
 
     def run(self, n_steps: int) -> List[int]:
         iters = []

@@ -42,14 +42,15 @@ def main(argv=None):
     print(f"MPC ladder: {H.shape[0]} vars, {A.shape[0]} constraints, "
           f"horizon {args.horizon} (chain80w protocol: 240/709/80)")
 
-    for stage in (False, True):
-        mpc = SequentialMPC(args.masses, args.horizon, seed=0,
-                            stage_structured=stage)
-        mpc.step()  # compile + first (cold) solve excluded from timing
+    configs = [("dense-cholesky", {}),
+               ("stage-thomas", {"stage_structured": True}),
+               ("sparse-ldl", {"backend": "sparse"})]
+    for label, kw in configs:
+        mpc = SequentialMPC(args.masses, args.horizon, seed=0, **kw)
+        mpc.step()  # compile/symbolic + first (cold) solve excluded
         t0 = time.perf_counter()
         iters = mpc.run(args.steps)
         dt = time.perf_counter() - t0
-        label = "stage-thomas" if stage else "dense-cholesky"
         print(f"{label:>15}: {args.steps/dt:6.1f} solves/s  "
               f"iters p50={np.median(iters):.0f} max={max(iters)}  "
               f"|x|={np.abs(mpc.x).max():.3f}")
