@@ -43,7 +43,7 @@ __version__ = "0.1.0"
 # multi-device distribution, checkpointing, reference-binding compat
 from . import batch, checkpoint, compat, diff, host_sparse, io, parallel, workloads  # noqa: E402
 from .host_sparse import (SparseQPALM, solve_sparse_auto,  # noqa: E402
-                          solve_sparse_direct)
+                          solve_sparse_batch, solve_sparse_direct)
 
 __all__ = [
     "QPALM",
@@ -60,6 +60,7 @@ __all__ = [
     "solve_sparse_direct",
     "solve_sparse_auto",
     "SparseQPALM",
+    "solve_sparse_batch",
     "FACTORIZE_KKT",
     "FACTORIZE_SCHUR",
     "FACTORIZE_KKT_OR_SCHUR",

@@ -15,6 +15,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -33,17 +34,25 @@ _IP = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _DP = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
+_lib_lock = threading.Lock()
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
-    _lib_tried = True
-    lib = _load_and_bind(rebuild=not os.path.exists(_LIB_PATH))
-    if lib is None and os.path.exists(_LIB_PATH):
-        # a stale .so from an older commit lacks the newer symbols
-        # (sldl_*/amd_order): force a rebuild and retry once
-        lib = _load_and_bind(rebuild=True)
-    _lib = lib
+    # serialized: concurrent first loads (e.g. solve_sparse_batch worker
+    # threads) must not observe _lib_tried=True before _lib is assigned
+    with _lib_lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        lib = _load_and_bind(rebuild=not os.path.exists(_LIB_PATH))
+        if lib is None and os.path.exists(_LIB_PATH):
+            # a stale .so from an older commit lacks the newer symbols
+            # (sldl_*/amd_order): force a rebuild and retry once
+            lib = _load_and_bind(rebuild=True)
+        _lib = lib
+        _lib_tried = True
     return lib
 
 

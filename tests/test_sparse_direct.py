@@ -128,6 +128,35 @@ def test_sparse_qpalm_lifecycle_reuses_symbolic():
     kkt_check(Q, A, q2, bl3, bu3, r3.x, r3.y, tol=1e-5)
 
 
+def test_sparse_batch_matches_individual_solves():
+    """solve_sparse_batch over host threads must reproduce individual
+    solve_sparse_direct results exactly in input order, including mixed
+    sparsity patterns, and honor time_limit per problem."""
+    from qpalm_tpu import solve_sparse_batch
+
+    rng = np.random.default_rng(3)
+    probs = []
+    for i in range(4):  # shared pattern, different values
+        Q, A, q, bl, bu = random_convex_qp(40, 60, seed=70, density=0.3)
+        probs.append((sp.csc_matrix(Q), sp.csc_matrix(A),
+                      q + 0.1 * rng.standard_normal(40), bl, bu))
+    for i in range(3):  # distinct patterns
+        Q, A, q, bl, bu = random_convex_qp(30, 45, seed=80 + i,
+                                           density=0.4)
+        probs.append((sp.csc_matrix(Q), sp.csc_matrix(A), q, bl, bu))
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    batch = solve_sparse_batch(probs, s, threads=2)
+    for p, r in zip(probs, batch):
+        ref = solve_sparse_direct(*p, s)
+        assert r.status == ref.status == C.QPALM_SOLVED
+        assert r.iterations == ref.iterations
+        assert np.abs(r.x - ref.x).max() < 1e-12
+
+    # time_limit: an impossibly tight budget must stop the host loop
+    rt = solve_sparse_direct(*probs[0], s.replace(time_limit=1e-9))
+    assert rt.status == C.QPALM_TIME_LIMIT_REACHED
+
+
 def test_api_solve_routes_large_sparse_to_direct_path():
     """qpalm_tpu.solve on a big scipy-sparse convex QP (default settings)
     must ride solve_sparse_auto (direct LDL'/KKT or CG by factor cost) and
