@@ -134,13 +134,19 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     bmax = np.minimum(bmax, C.QPALM_INFTY)
     n, m = Q.shape[0], A.shape[0]
     s = settings
+    # bound finiteness is classified on the ORIGINAL bounds: after Ruiz
+    # scaling a finite E*bmax can exceed QPALM_INFTY and an unscaled
+    # threshold would misclassify it (device twin compares against
+    # E*QPALM_INFTY, core.py is_primal/dual_infeasible)
+    has_lb_rows = bmin > -C.QPALM_INFTY
+    has_ub_rows = bmax < C.QPALM_INFTY
 
     # ---- Ruiz scaling (reference scaling.c:34-113) ------------------------
     D = np.ones(n)
     E = np.ones(m)
     cost = 1.0
     if s.scaling:
-        for _ in range(s.scaling):
+        for _ in range(s.scaling if m > 0 else 0):
             absA = abs(A)
             col = np.maximum(absA.max(axis=0).toarray().ravel(), 0.0)
             row = np.maximum(absA.max(axis=1).toarray().ravel(), 0.0)
@@ -197,6 +203,11 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             reuse.update(fm=fm, ldl=ldl, ldl_kkt=ldl_kkt)
     use_kkt = ldl_kkt is not None
     eye_n = sp.eye(n, format="csc")
+    if use_kkt:
+        # loop-invariant half of the Gershgorin-style bound on
+        # ||A' Sigma_act A||: ||A'||_inf (A is fixed after scaling)
+        absA_kkt = abs(A)
+        gersh_r1 = float(absA_kkt.sum(axis=0).max()) if A.nnz else 0.0
 
     # ---- warm start / state (qpalm.c:322-399) -----------------------------
     gamma = float(s.gamma_init)
@@ -281,8 +292,8 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         eps_p = s.eps_prim_inf * _norm_inf(E * dy)
         if eps_p > 0:
             At_dy = Dinv * (At @ dy)
-            has_ub = bmax < C.QPALM_INFTY
-            has_lb = bmin > -C.QPALM_INFTY
+            has_ub = has_ub_rows
+            has_lb = has_lb_rows
             oob = float(
                 np.sum(np.where(has_ub, bmax * np.maximum(dy, 0.0), 0.0))
                 + np.sum(np.where(has_lb, bmin * np.minimum(dy, 0.0), 0.0))
@@ -295,12 +306,14 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         eps_d = s.eps_dual_inf * _norm_inf(D * dx)
         if eps_d > 0:
             A_dx = Einv * tAd
-            has_ub = bmax < C.QPALM_INFTY
-            has_lb = bmin > -C.QPALM_INFTY
+            has_ub = has_ub_rows
+            has_lb = has_lb_rows
             viol = np.any((has_ub & (A_dx >= eps_d))
                           | (has_lb & (A_dx <= -eps_d)))
-            Qdx = tQd - (tau / gamma) * td if s.proximal else tQd
-            dxQdx = float(dx @ Qdx)
+            # tQd_pure = tau*Q@d captured at the step with the step's
+            # gamma (device twin: core.py is_dual_infeasible; the pure
+            # form is immune to later gamma updates)
+            dxQdx = float(dx @ tQd_pure)
             dxdx = float((D * dx) @ (D * dx))
             e2 = s.eps_dual_inf * s.eps_dual_inf
             cs = cost if s.scaling else 1.0
@@ -396,11 +409,9 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     # ||A'||_inf * ||Sigma_act A||_inf (the exact row-sum
                     # bound needs A'A, which KKT mode exists to avoid; a
                     # larger bound only picks a smaller terminal gamma)
-                    absA = abs(A)
-                    r1 = absA.sum(axis=0).max() if A.nnz else 0.0
                     r2 = (sp.diags(np.where(active, sigma, 0.0))
-                          @ absA).sum(axis=1).max() if A.nnz else 0.0
-                    gersh = float(r1) * float(r2)
+                          @ absA_kkt).sum(axis=1).max() if A.nnz else 0.0
+                    gersh = gersh_r1 * float(r2)
                 else:
                     w = np.where(active, sigma, 0.0)
                     Aw = sp.diags(w) @ A
@@ -433,6 +444,7 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             x_prev = x.copy()
             td = tau * d
             tQd = tau * Qd
+            tQd_pure = tQd - td / gamma if s.proximal else tQd
             tAd = tau * Ad
             x = x + td
             Qx = Qx + tQd
@@ -539,6 +551,7 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     def pattern_key(Q, A):
         h = hashlib.sha1()
         for M in (sp.csc_matrix(Q), sp.csc_matrix(A)):
+            h.update(repr(M.shape).encode())
             h.update(np.ascontiguousarray(M.indptr).tobytes())
             h.update(np.ascontiguousarray(M.indices).tobytes())
         return h.hexdigest()
@@ -588,7 +601,7 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
     block-Jacobi PCG.
     """
     from . import constants as C2
-    from .linalg.sparse_direct import SparseLDL, load_library
+    from .linalg.sparse_direct import estimate_fill, load_library
 
     if settings is None:
         settings = Settings(**settings_kw)
@@ -601,10 +614,14 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
     if load_library() is not None:
         pattern = (Qc + (Ac.T @ Ac) + sp.eye(n)).tocsc()
         try:
-            sym = SparseLDL(pattern)
-            est_flops = 2.0 * sym.lnz * sym.lnz / max(n, 1)
-            use_direct = (sym.lnz <= fill_ratio * pattern.nnz
-                          or (sym.method == "supernodal"
+            # ordering + exact etree count only — no factor allocation;
+            # solve_sparse_direct redoes its own full symbolic once
+            lnz = estimate_fill(pattern)
+            est_flops = 2.0 * lnz * lnz / max(n, 1)
+            mean_cols = lnz / max(n, 1)
+            supernodal = mean_cols >= 24.0
+            use_direct = (lnz <= fill_ratio * pattern.nnz
+                          or (supernodal
                               and est_flops <= direct_flop_budget))
         except Exception:
             use_direct = False
@@ -618,10 +635,16 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
                      settings=settings.replace(
                          factorization_method=C2.FACTORIZE_CG),
                      x0=x0, y0=y0)
+
+    def _cert(v):
+        v = np.asarray(v)
+        return v if np.isfinite(v).all() else None
+
     return HostResult(
         x=np.asarray(r.solution.x), y=np.asarray(r.solution.y),
         status=int(r.info.status_val), status_str=r.info.status,
         iterations=int(r.info.iter), objective=float(r.info.objective),
         pri_res_norm=float(r.info.pri_res_norm),
         dua_res_norm=float(r.info.dua_res_norm),
+        delta_y=_cert(r.delta_y), delta_x=_cert(r.delta_x),
     )

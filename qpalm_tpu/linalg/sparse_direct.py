@@ -147,6 +147,32 @@ def _point_at_fast_blas(lib) -> None:
 _SUPERNODAL_MEAN_COLS = 24.0
 
 
+def estimate_fill(pattern) -> int:
+    """Exact LDL' fill (nnz of L below the diagonal) of `pattern` under the
+    native AMD ordering (RCM fallback) — the O(nnz + lnz-walk) etree count
+    only, no factor allocation.  Used by routing decisions
+    (solve_sparse_auto) that don't need the analysis kept around."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native LDL library unavailable")
+    M = sp.csc_matrix(pattern)
+    n = M.shape[0]
+    Ap = np.ascontiguousarray(M.indptr, np.int32)
+    Ai = np.ascontiguousarray(M.indices, np.int32)
+    perm = np.zeros(n, np.int32)
+    if lib.amd_order(n, Ap, Ai, perm) != 0:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        perm = np.asarray(reverse_cuthill_mckee(M, symmetric_mode=True))
+    Mp = sp.csc_matrix(M[perm][:, perm])
+    fill = int(lib.ldl_count_fill(
+        n, np.ascontiguousarray(Mp.indptr, np.int32),
+        np.ascontiguousarray(Mp.indices, np.int32)))
+    if fill < 0:
+        raise RuntimeError("ldl_count_fill failed")
+    return fill
+
+
 class SparseLDL:
     """Factorization handle over a fixed symmetric sparsity pattern.
 

@@ -301,18 +301,31 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
             failv = np.empty(B, np.int32)
             sol_n = rhs.copy()
             nf = lib.bkkt_factor_solve(B, nk, K, ipiv, sol_n, failv)
-            if nf == 0:
+            if 0 <= nf < B:
+                bad = np.where(failv.astype(bool))[0]
+                if len(bad):
+                    # per-lane fallback: the factor destroyed the failed
+                    # lanes' K in place — rebuild just those and LU-solve
+                    # them; healthy lanes keep their BK factors
+                    K_bad = build_K()[bad]
+                    sol_n[bad] = np.linalg.solve(
+                        K_bad, rhs[bad, :, None])[:, :, 0]
                 sol = sol_n
 
                 def resolve(r):
                     rc = np.ascontiguousarray(r)
                     ok = lib.bkkt_resolve(B, nk, K, ipiv, rc, failv)
-                    # on the (never-observed) re-solve failure, skip the
-                    # correction: the KKT check still gates the result
-                    return rc if ok == 0 else np.zeros_like(rc)
+                    if ok != 0:
+                        # never observed: skip the correction, the KKT
+                        # check still gates the result
+                        return np.zeros_like(rc)
+                    if len(bad):
+                        rc[bad] = np.linalg.solve(
+                            K_bad, r[bad, :, None])[:, :, 0]
+                    return rc
             else:
-                # rare breakdown: the factor destroyed K in place —
-                # rebuild and take the LU path for the whole chunk
+                # native error (nf < 0) or all-lane breakdown: rebuild K
+                # (destroyed in place) and take the LU path for the chunk
                 K = build_K()
         if sol is None:
             sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]

@@ -366,6 +366,57 @@ def test_host_sparse_infeasibility_certificates():
     assert r2.delta_x is not None
 
 
+def test_host_sparse_m0_and_dual_infeasible_proximal():
+    """Regressions from review: (a) m=0 sparse problems crashed the Ruiz
+    loop; (b) the proximal dual-infeasibility curvature test had an extra
+    factor of tau (masking genuine dual infeasibility when the linesearch
+    stepped with tau != 1)."""
+    # (a) unconstrained sparse QP
+    n = 30
+    Qd = sp.eye(n).tocsc() * 2.0
+    r = solve_sparse_direct(Qd, sp.csc_matrix((0, n)), np.ones(n),
+                            np.zeros(0), np.zeros(0),
+                            eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    assert r.status == C.QPALM_SOLVED
+    assert np.abs(r.x + 0.5).max() < 1e-6
+    # (b) dual infeasible: singular Q with q pushing along the null space,
+    # free bounds in that direction — proximal on (default)
+    Q0 = sp.diags([1.0, 1.0, 0.0]).tocsc()
+    A0 = sp.csc_matrix(np.array([[1.0, 0.0, 0.0]]))
+    r2 = solve_sparse_direct(Q0, A0, np.array([0.0, 0.0, -1.0]),
+                             np.array([-1.0]), np.array([1.0]),
+                             eps_abs=1e-6, eps_rel=1e-6, proximal=True,
+                             verbose=False)
+    assert r2.status == C.QPALM_DUAL_INFEASIBLE
+    assert r2.delta_x is not None
+    # the certificate direction must be a descent ray: Q dx ~ 0, q'dx < 0
+    dx = r2.delta_x
+    assert np.abs(Q0 @ dx).max() <= 1e-4 * np.abs(dx).max()
+    assert np.array([0.0, 0.0, -1.0]) @ dx < 0
+
+
+def test_sparse_auto_cg_fallback_keeps_certificates():
+    """A heavy-fill primal-infeasible problem routed to the CG path must
+    still surface the Farkas certificate through HostResult (review
+    finding: it was dropped in the repackaging)."""
+    from qpalm_tpu import solve_sparse_auto
+
+    rng = np.random.default_rng(1)
+    n, m = 120, 80
+    Ar = sp.csc_matrix(rng.standard_normal((m, n)))  # dense A: CG route
+    Q = sp.eye(n).tocsc()
+    A2 = sp.vstack([Ar, Ar[:1]]).tocsc()  # contradictory duplicate row
+    bl = np.concatenate([np.full(m, -1.0), [2.0]])
+    bu = np.concatenate([np.full(m, 1.0), [3.0]])
+    r = solve_sparse_auto(Q, A2, rng.standard_normal(n), bl, bu,
+                          eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+                          fill_ratio=0.0, direct_flop_budget=0.0)
+    assert r.status == C.QPALM_PRIMAL_INFEASIBLE
+    assert r.delta_y is not None
+    dy = r.delta_y
+    assert np.abs(A2.T @ dy).max() <= 1e-4 * np.abs(dy).max()
+
+
 def test_host_sparse_warm_start():
     Q, A, q, bl, bu = random_convex_qp(25, 40, seed=21)
     s = Settings(eps_abs=1e-8, eps_rel=1e-8, verbose=False)
