@@ -71,11 +71,13 @@ void symbolic(LDL &S, int n, const int *Ap, const int *Ai) {
   S.y.assign(n, 0.0);
 }
 
-// numeric factorization of the same pattern; `shift` adds to the diagonal
-// (the reference's 1/gamma proximal shift, solver_interface.c:330-343).
+// numeric factorization of the same pattern; `shift` adds to the FIRST
+// `shift_size` diagonal entries (the reference's 1/gamma proximal shift
+// with LADEL's diag_size semantics, solver_interface.c:330-343 — for the
+// KKT form only the (1,1) block is shifted).
 // returns 0 on success, k+1 if D[k] collapses to 0 (singular).
 int numeric(LDL &S, const int *Ap, const int *Ai, const double *Ax,
-            double shift) {
+            double shift, int shift_size) {
   const int n = S.n;
   std::fill(S.flag.begin(), S.flag.end(), -1);
   std::fill(S.lnz_cursor.begin(), S.lnz_cursor.end(), 0);
@@ -84,7 +86,7 @@ int numeric(LDL &S, const int *Ap, const int *Ai, const double *Ax,
     // row k of L via etree walks (stack reversed into topological order)
     int top = n;
     S.flag[k] = k;
-    double dk = shift;
+    double dk = (k < shift_size) ? shift : 0.0;
     for (int p = Ap[k]; p < Ap[k + 1]; ++p) {
       int i = Ai[p];
       if (i > k) continue;
@@ -154,9 +156,9 @@ void *ldl_symbolic(int n, const int *Ap, const int *Ai) {
 }
 
 int ldl_numeric(void *h, const int *Ap, const int *Ai, const double *Ax,
-                double shift) {
+                double shift, int shift_size) {
   try {
-    return numeric(*static_cast<LDL *>(h), Ap, Ai, Ax, shift);
+    return numeric(*static_cast<LDL *>(h), Ap, Ai, Ax, shift, shift_size);
   } catch (...) {
     return -1;
   }

@@ -224,9 +224,10 @@ bool build(SNLDL &S, int n, const int *Ap, const int *Ai, int max_width,
   return true;
 }
 
-// returns 0 on success, k+1 if D[k] == 0 at column k
+// returns 0 on success, k+1 if D[k] == 0 at column k; `shift` adds to
+// the first `shift_size` diagonal entries only (LADEL diag_size)
 int factorize(SNLDL &S, const int *Ap, const int *Ai, const double *Ax,
-              double shift) {
+              double shift, int shift_size) {
   const int nsuper = S.nsuper;
   std::fill(S.values.begin(), S.values.end(), 0.0);
   std::fill(S.head.begin(), S.head.end(), -1);
@@ -247,7 +248,7 @@ int factorize(SNLDL &S, const int *Ap, const int *Ai, const double *Ax,
         if (i < j) continue;
         Fj[S.relmap[i]] += Ax[p];
       }
-      Fj[j - c0] += shift;
+      if (j < shift_size) Fj[j - c0] += shift;
     }
     // descendant updates
     int d = S.head[s];
@@ -385,9 +386,10 @@ void *sldl_symbolic(int n, const int *Ap, const int *Ai, int max_width,
 }
 
 int sldl_numeric(void *h, const int *Ap, const int *Ai, const double *Ax,
-                 double shift) {
+                 double shift, int shift_size) {
   try {
-    return factorize(*static_cast<SNLDL *>(h), Ap, Ai, Ax, shift);
+    return factorize(*static_cast<SNLDL *>(h), Ap, Ai, Ax, shift,
+                     shift_size);
   } catch (...) {
     return -1;
   }

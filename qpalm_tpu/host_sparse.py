@@ -202,7 +202,7 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         if reuse is not None:
             reuse.update(fm=fm, ldl=ldl, ldl_kkt=ldl_kkt)
     use_kkt = ldl_kkt is not None
-    eye_n = sp.eye(n, format="csc")
+    kkt_tmpl = reuse.get("kkt_tmpl") if reuse is not None else None
     if use_kkt:
         # loop-invariant half of the Gershgorin-style bound on
         # ||A' Sigma_act A||: ||A'||_inf (A is fixed after scaling)
@@ -397,14 +397,40 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     # quasi-definite augmented form (qpalm_form_kkt,
                     # solver_interface.c:119-169): active rows carry
                     # -1/sigma on the diagonal, inactive rows decouple to
-                    # the identity with their A-column zeroed
-                    Aact = sp.diags(active.astype(np.float64)) @ A
-                    dblock = sp.diags(np.where(active, -1.0 / sigma, 1.0))
-                    Qg = (Q + (1.0 / gamma) * eye_n if s.proximal
-                          else Q)
-                    Kmat = sp.bmat([[Qg, Aact.T], [Aact, dblock]],
-                                   format="csc")
-                    ldl_kkt.factor(Kmat)
+                    # the identity with their A-column zeroed.  The KKT
+                    # matrix is assembled ONCE with an index tracer; every
+                    # refactor after that is two numpy fancy-index ops
+                    # (scipy bmat/adds per iteration dominated profiles),
+                    # and the (1,1)-block 1/gamma shift rides the native
+                    # partial diagonal shift (LADEL diag_size semantics)
+                    act_mask = active.astype(np.float64)
+                    dblock_vals = np.where(active, -1.0 / sigma, 1.0)
+                    if kkt_tmpl is None:
+                        nQ, nA = Q.nnz, A.nnz
+                        Q_tr = Q.copy()
+                        Q_tr.data = np.arange(1, nQ + 1, dtype=np.float64)
+                        A_tr = A.copy()
+                        A_tr.data = np.arange(nQ + 1, nQ + nA + 1,
+                                              dtype=np.float64)
+                        D_tr = sp.diags(np.arange(
+                            nQ + nA + 1, nQ + nA + m + 1,
+                            dtype=np.float64))
+                        K_tr = sp.bmat([[Q_tr, A_tr.T], [A_tr, D_tr]],
+                                       format="csc")
+                        K_tr.sort_indices()
+                        kkt_tmpl = (K_tr,
+                                    K_tr.data.astype(np.int64) - 1)
+                        if reuse is not None:
+                            reuse["kkt_tmpl"] = kkt_tmpl
+                    Kmat, kkt_idx = kkt_tmpl
+                    src_vals = np.concatenate(
+                        [Q.data, A.data * act_mask[A.indices],
+                         dblock_vals])
+                    Kmat.data[:] = src_vals[kkt_idx]
+                    ldl_kkt.factor(
+                        Kmat, shift=(1.0 / gamma if s.proximal else 0.0),
+                        shift_size=n,
+                    )
                     # Gershgorin-style upper bound on ||A' Sigma_act A||:
                     # ||A'||_inf * ||Sigma_act A||_inf (the exact row-sum
                     # bound needs A'A, which KKT mode exists to avoid; a
@@ -414,7 +440,8 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     gersh = gersh_r1 * float(r2)
                 else:
                     w = np.where(active, sigma, 0.0)
-                    Aw = sp.diags(w) @ A
+                    Aw = A.copy()
+                    Aw.data = A.data * w[A.indices]  # pattern-stable mask
                     AtsA = (A.T @ Aw).tocsc()
                     M = (Q + AtsA).tocsc()
                     # Gershgorin bound of AtsA (nonconvex.c:185-210)
@@ -426,11 +453,16 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             if use_kkt:
                 rhs = np.concatenate([-dphi, np.zeros(m)])
                 sol = ldl_kkt.solve(rhs)
+                ginv = 1.0 / gamma if s.proximal else 0.0
                 for _ in range(min(int(s.max_refine), 3)):
-                    # refinement against the assembled KKT (newton.c:57-92)
+                    # refinement against the KKT operator (newton.c:57-92),
+                    # applied matrix-free: Aact @ v = mask*(A@v) and
+                    # Aact' @ w = A'(mask*w)
                     r = rhs.copy()
-                    r[:n] -= Qg @ sol[:n] + Aact.T @ sol[n:]
-                    r[n:] -= Aact @ sol[:n] + dblock @ sol[n:]
+                    sx, sn = sol[:n], sol[n:]
+                    r[:n] -= (Q @ sx + ginv * sx
+                              + At @ (act_mask * sn))
+                    r[n:] -= act_mask * (A @ sx) + dblock_vals * sn
                     if _norm_inf(r) <= 1e-12 * max(1.0, _norm_inf(rhs)):
                         break
                     sol = sol + ldl_kkt.solve(r)

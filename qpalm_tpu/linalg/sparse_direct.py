@@ -79,7 +79,7 @@ def _bind_symbols(lib) -> None:
     lib.ldl_symbolic.argtypes = [ctypes.c_int, _IP, _IP]
     lib.ldl_numeric.restype = ctypes.c_int
     lib.ldl_numeric.argtypes = [ctypes.c_void_p, _IP, _IP, _DP,
-                                ctypes.c_double]
+                                ctypes.c_double, ctypes.c_int]
     lib.ldl_solve.restype = None
     lib.ldl_solve.argtypes = [ctypes.c_void_p, _DP]
     lib.ldl_lnz.restype = ctypes.c_long
@@ -92,7 +92,7 @@ def _bind_symbols(lib) -> None:
                                   ctypes.c_double]
     lib.sldl_numeric.restype = ctypes.c_int
     lib.sldl_numeric.argtypes = [ctypes.c_void_p, _IP, _IP, _DP,
-                                 ctypes.c_double]
+                                 ctypes.c_double, ctypes.c_int]
     lib.sldl_solve.restype = None
     lib.sldl_solve.argtypes = [ctypes.c_void_p, _DP]
     lib.sldl_lnz.restype = ctypes.c_long
@@ -305,16 +305,34 @@ class SparseLDL:
 
     def _aligned_values(self, M) -> np.ndarray:
         """Permute + take this method's triangle of M and align its values
-        to the analyzed pattern (which may be a structural superset)."""
-        Mp = sp.csc_matrix(M)[self.perm][:, self.perm]
+        to the analyzed pattern (which may be a structural superset).
+
+        The P-ALM loop refactors the same superset pattern with new values
+        every few iterations, and the scipy permute/triangle work dominated
+        profile time — so the data mapping (which entry of M.data lands in
+        which superset slot) is computed once per distinct input pattern
+        with an index tracer and replayed as two fancy-indexing ops."""
+        M = sp.csc_matrix(M)
+        key = (M.shape, M.nnz, M.indptr.tobytes(), M.indices.tobytes())
+        cached = getattr(self, "_align_cache", None)
+        if cached is not None and cached[0] == key:
+            _, pos, src, nvals = cached
+            vals = np.zeros(nvals, np.float64)
+            vals[pos] = M.data[src]
+            return vals
+        # slow path: run the permutation/triangle once with tracer data
+        # 1..nnz so the surviving entries reveal their source positions
+        tracer = sp.csc_matrix(
+            (np.arange(1, M.nnz + 1, dtype=np.float64), M.indices.copy(),
+             M.indptr.copy()), shape=M.shape,
+        )
+        Tp = tracer[self.perm][:, self.perm]
         tri = sp.tril if self.method == "supernodal" else sp.triu
-        T = tri(Mp, format="csc")
+        T = tri(Tp, format="csc")
         T.sort_indices()
-        if (T.indptr.shape == self._Tp.shape
-                and np.array_equal(T.indptr, self._Tp)
-                and np.array_equal(T.indices, self._Ti)):
-            return np.ascontiguousarray(T.data, np.float64)
-        # value scatter into the superset pattern via sorted keys
+        T.eliminate_zeros()  # tracer values are >= 1, zeros are structural
+        src = T.data.astype(np.int64) - 1
+        # scatter positions into the superset pattern via sorted keys
         cols = np.repeat(np.arange(self.n, dtype=np.int64),
                          np.diff(T.indptr))
         sub_keys = cols * np.int64(self.n) + T.indices.astype(np.int64)
@@ -323,17 +341,31 @@ class SparseLDL:
                 self._keys[np.minimum(pos, len(self._keys) - 1)],
                 sub_keys):
             raise ValueError("pattern not contained in analyzed pattern")
-        vals = np.zeros(len(self._keys), np.float64)
-        vals[pos] = T.data
+        nvals = len(self._keys)
+        self._align_cache = (key, pos, src, nvals)
+        vals = np.zeros(nvals, np.float64)
+        vals[pos] = M.data[src]
         return vals
 
-    def factor(self, M, shift: float = 0.0) -> None:
-        """Numeric (re)factorization of M (+ shift*I).  M must have a
-        sparsity pattern contained in the analyzed one."""
+    def factor(self, M, shift: float = 0.0,
+               shift_size: Optional[int] = None) -> None:
+        """Numeric (re)factorization of M (+ shift on the first
+        `shift_size` diagonal entries of the ORIGINAL indexing; default
+        the whole diagonal — LADEL diag_size semantics,
+        solver_interface.c:330-343).  M must have a sparsity pattern
+        contained in the analyzed one."""
         vals = self._aligned_values(M)
+        if (shift != 0.0 and shift_size is not None
+                and shift_size < self.n):
+            # the fill-reducing permutation scatters original indices, so
+            # a partial shift is folded into the aligned values at the
+            # matching diagonal slots (cached 0/1 mask)
+            vals = vals + shift * self._diag_shift_mask(shift_size)
+            shift = 0.0
         fn = (self._lib.sldl_numeric if self.method == "supernodal"
               else self._lib.ldl_numeric)
-        status = fn(self._h, self._Tp, self._Ti, vals, float(shift))
+        status = fn(self._h, self._Tp, self._Ti, vals, float(shift),
+                    self.n)
         if status < 0:
             # native exception (e.g. allocation failure), not a zero pivot
             raise RuntimeError("native LDL numeric factorization failed")
@@ -341,6 +373,26 @@ class SparseLDL:
             raise np.linalg.LinAlgError(
                 f"LDL numeric breakdown at column {status - 1}"
             )
+
+    def _diag_shift_mask(self, shift_size: int) -> np.ndarray:
+        """0/1 vector over the analyzed value slots marking diagonal
+        entries whose ORIGINAL index is < shift_size (cached).  Requires
+        those diagonal slots to exist in the analyzed pattern."""
+        cached = getattr(self, "_diag_mask_cache", None)
+        if cached is not None and cached[0] == shift_size:
+            return cached[1]
+        jj = np.where(self.perm < shift_size)[0].astype(np.int64)
+        keys = jj * np.int64(self.n) + jj  # diagonal keys, permuted frame
+        pos = np.searchsorted(self._keys, keys)
+        ok = (pos < len(self._keys)) & (
+            self._keys[np.minimum(pos, len(self._keys) - 1)] == keys)
+        if not ok.all():
+            raise ValueError("partial shift requires the shifted diagonal "
+                             "entries in the analyzed pattern")
+        mask = np.zeros(len(self._keys), np.float64)
+        mask[pos] = 1.0
+        self._diag_mask_cache = (shift_size, mask)
+        return mask
 
     def solve(self, b) -> np.ndarray:
         x = np.ascontiguousarray(np.asarray(b, np.float64)[self.perm])
