@@ -175,12 +175,22 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     # setup half — is done once, like the reference's persistent
     # work->solver->sym across qpalm_update_* calls)
     At = A.T.tocsc()
-    fm = s.factorization_method
-    if reuse is not None and reuse.get("fm") == fm:
+    fm = fm_req = s.factorization_method
+    if reuse is not None and reuse.get("fm") == fm_req:
         ldl = reuse["ldl"]
         ldl_kkt = reuse["ldl_kkt"]
     else:
         ldl = ldl_kkt = None
+        if fm == C.FACTORIZE_KKT_OR_SCHUR and m > 0:
+            # don't even BUILD the Schur candidate when a handful of
+            # dense-ish rows make A'A near-dense (sum of squared row
+            # counts bounds its pattern): forming + analyzing a 25M-nnz
+            # pattern just to reject it dominated setup profiles
+            row_nnz = np.diff(A.tocsr().indptr).astype(np.int64)
+            est_schur_nnz = Q.nnz + int((row_nnz ** 2).sum())
+            kkt_nnz = Q.nnz + 2 * A.nnz + n + m
+            if est_schur_nnz > 20 * kkt_nnz:
+                fm = C.FACTORIZE_KKT
         if fm != C.FACTORIZE_KKT:  # Schur covers every non-KKT mode here
             pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
             ldl = SparseLDL(pattern)
@@ -200,7 +210,7 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             else:
                 ldl_kkt = None
         if reuse is not None:
-            reuse.update(fm=fm, ldl=ldl, ldl_kkt=ldl_kkt)
+            reuse.update(fm=fm_req, ldl=ldl, ldl_kkt=ldl_kkt)
     use_kkt = ldl_kkt is not None
     kkt_tmpl = reuse.get("kkt_tmpl") if reuse is not None else None
     if use_kkt:
