@@ -654,6 +654,16 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
     n = Qc.shape[0]
     use_direct = False
     if load_library() is not None:
+        # dense-ish rows make A'A near-dense: estimating the Schur fill
+        # would itself build a huge pattern just to route, and the direct
+        # solver's own pre-check picks the sparse KKT form anyway
+        if Ac.shape[0] > 0:
+            row_nnz = np.diff(Ac.tocsr().indptr).astype(np.int64)
+            est_schur_nnz = Qc.nnz + int((row_nnz ** 2).sum())
+            kkt_nnz = Qc.nnz + 2 * Ac.nnz + n + Ac.shape[0]
+            if est_schur_nnz > 20 * kkt_nnz:
+                return solve_sparse_direct(Qc, Ac, q, bmin, bmax,
+                                           settings, c=c, x0=x0, y0=y0)
         pattern = (Qc + (Ac.T @ Ac) + sp.eye(n)).tocsc()
         try:
             # ordering + exact etree count only — no factor allocation;
