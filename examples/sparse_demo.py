@@ -75,14 +75,17 @@ r = solve_sparse_auto(Q3, A3, q3, -u3, u3, eps_abs=1e-6, eps_rel=1e-6,
 kkt_report(Q3, A3, q3, u3, r, "heavy fill (supernodal)",
            time.perf_counter() - t0)
 
-# 4) the matrix-free CG path (no n x n memory anywhere): force it through
-#    the QPALM class for a problem with random coupling constraints
+# 4) the matrix-free CG path (no n x n memory anywhere): its home turf is
+#    WELL-conditioned operators — ill-conditioned ones belong to the
+#    direct backends above (that split is the auto-router's whole job)
+Q4 = sp.diags([2.0 * np.ones(n), -0.5 * np.ones(n - 1),
+               -0.5 * np.ones(n - 1)], [0, 1, -1]).tocsc()
 m4 = 7000
 A4 = sp.random(m4, n, density=5e-4, random_state=1,
                data_rvs=rng.standard_normal).tocsc()
 u4 = 2 * rng.random(m4) + 0.5
 t0 = time.perf_counter()
-solver = QPALM(Q, A4, q, -u4, u4,
+solver = QPALM(Q4, A4, q, -u4, u4,
                settings=Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False,
                                  delta=10.0))
 res = solver.solve()
