@@ -258,6 +258,11 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
 
     import time as _time
 
+    if s.verbose:
+        # banner + header (reference util.c:107-119, device twin api.py)
+        print(f"qpalm_tpu sparse-direct  (n = {n}, m = {m}, "
+              f"{'KKT' if use_kkt else 'Schur'} form)")
+        print("  iter |   pri res    |   dua res    |     tau")
     t_solve0 = _time.perf_counter()
     it = 0
     for it in range(s.max_iter):
@@ -292,6 +297,9 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         eps_dua = s.eps_abs + s.eps_rel * max_norm
         eps_dua_in = eps_abs_in + eps_rel_in * max_norm
 
+        if s.verbose:
+            print(f"{it:6d} | {pri_norm:.6e} | {dua_norm:.6e} | "
+                  f"{tau:8.4f}")
         if pri_norm < eps_pri and dua_norm < eps_dua:
             status = C.QPALM_SOLVED
             y = yh
@@ -496,6 +504,15 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
 
     Qx_pure = Qx - (x / gamma if s.proximal else 0.0)
     obj = float((0.5 * Qx_pure + q) @ x) * cinv + c
+    if s.verbose:
+        # final boxed message (reference util.c:121-206)
+        print("-" * 54)
+        print(f"status:     {C.STATUS_STRINGS.get(int(status), '?')}")
+        print(f"iterations: {it}")
+        print(f"objective:  {obj:.6e}")
+        print(f"pri res:    {pri_norm:.4e}   dua res: {dua_norm:.4e}")
+        print(f"solve time: {_time.perf_counter() - t_solve0:.6f} s")
+        print("-" * 54)
     return HostResult(
         x=D * x,
         y=E * (cinv * y),
