@@ -67,6 +67,7 @@ class Qpalm:
         self._pending_data = (Q, A, np.asarray(q, float),
                               np.asarray(bmin, float), np.asarray(bmax, float))
         self._solver = None
+        self._ws = None  # a pending warm start belongs to the OLD problem
 
     def _setup(self):
         if self._pending_data is None:

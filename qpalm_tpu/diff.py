@@ -40,7 +40,11 @@ from .types import QPData, Settings
 _ACT_TOL_F64 = 1e-7
 _ACT_TOL_F32 = 3e-4
 _Y_TOL_REL = 1e-6
-_HARD_SIGMA = 1e10
+# the equality-row penalty must stay within the working precision's
+# conditioning headroom: 1e10 is fine for f64 Cholesky but obliterates the
+# Q-scale curvature in float32 (eps ~ 1.2e-7), so f32 uses ~1e5
+_HARD_SIGMA_F64 = 1e10
+_HARD_SIGMA_F32 = 1e5
 
 
 def _solve_primal(Q, A, q, bmin, bmax, settings: Settings):
@@ -78,13 +82,21 @@ def _bwd(settings, res, gx):
     Ax = A @ x
     base = _ACT_TOL_F32 if dtype == jnp.float32 else _ACT_TOL_F64
     tol = base * jnp.maximum(1.0, jnp.max(jnp.abs(Ax)))
-    y_tol = _Y_TOL_REL * jnp.maximum(1.0, jnp.max(jnp.abs(y)))
+    # a multiplier only marks a row active when it clearly exceeds the
+    # solver's own dual tolerance: at eps_abs=1e-4 inactive rows converge
+    # with residual |y| ~ eps, and a fixed 1e-6 threshold would classify
+    # them active, silently corrupting the gradients
+    y_tol = jnp.maximum(
+        _Y_TOL_REL * jnp.maximum(1.0, jnp.max(jnp.abs(y))),
+        jnp.asarray(10.0 * float(settings.eps_abs), dtype),
+    )
     at_upper = (Ax >= bmax - tol) | (y > y_tol)
     active = (Ax <= bmin + tol) | at_upper | (y < -y_tol)
 
     # masked KKT solve: K = Q + A_act' sigma A_act with sigma -> inf emulates
     # the equality rows; lam solves K lam = -gx up to the range-space split
-    sig = jnp.where(active, jnp.asarray(_HARD_SIGMA, dtype), 0.0)
+    hard = _HARD_SIGMA_F32 if dtype == jnp.float32 else _HARD_SIGMA_F64
+    sig = jnp.where(active, jnp.asarray(hard, dtype), 0.0)
     B = A * jnp.sqrt(sig)[:, None]
     K = Q + B.T @ B + jnp.asarray(1e-12, dtype) * jnp.eye(
         Q.shape[0], dtype=dtype

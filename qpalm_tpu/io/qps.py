@@ -240,7 +240,9 @@ def load_qps_python(path: str) -> QPProblem:
         text = f.read()
     try:
         return _parse_qps_text(text)
-    except ValueError:
+    except (ValueError, KeyError):
+        # mangled old-format tokens surface as either unparseable floats
+        # (ValueError) or unknown row/column names (KeyError)
         return _parse_qps_text(convert_old_format(text))
 
 
@@ -249,6 +251,7 @@ def _parse_qps_text(text: str) -> QPProblem:
 
     # ---- ROWS ------------------------------------------------------------
     objective = ""
+    free_rows = set()  # N rows beyond the objective: unconstrained, ignored
     row_names: List[str] = []
     row_sign: Dict[str, str] = {}
     for line in secs.get("ROWS"):
@@ -259,6 +262,8 @@ def _parse_qps_text(text: str) -> QPProblem:
         if sign == "N":
             if not objective:
                 objective = rname
+            else:
+                free_rows.add(rname)
             continue
         if sign not in ("L", "G", "E"):
             raise ValueError(f"Unknown row sense {sign!r}")
@@ -290,6 +295,8 @@ def _parse_qps_text(text: str) -> QPProblem:
             rname, val = pairs[k], _clip_inf(float(pairs[k + 1]))
             if rname == objective:
                 q_entries[j] = val
+            elif rname in free_rows:
+                pass  # standard MPS free row: no constraint
             else:
                 A_r.append(row_idx[rname])
                 A_c.append(j)
@@ -323,11 +330,16 @@ def _parse_qps_text(text: str) -> QPProblem:
         return cname, val
 
     free_cols = set()
+    rebounded = set()  # FR then a later tightening bound line
     for line in bounds_lines:
         toks = line.split()
+        cname, _ = _bound_col_and_val(toks)
+        j = col_idx[cname]
         if toks[0].upper() == "FR":
-            cname, _ = _bound_col_and_val(toks)
-            free_cols.add(col_idx[cname])
+            free_cols.add(j)
+        elif j in free_cols:
+            rebounded.add(j)
+    free_cols -= rebounded
 
     bounded_cols = [j for j in range(n) if j not in free_cols]
     bound_row = {j: m_rows + i for i, j in enumerate(bounded_cols)}
@@ -371,6 +383,8 @@ def _parse_qps_text(text: str) -> QPProblem:
             if rname == objective:
                 c_const = -val
                 continue
+            if rname in free_rows:
+                continue
             i = row_idx[rname]
             s = row_sign[rname]
             if s == "L":
@@ -381,8 +395,12 @@ def _parse_qps_text(text: str) -> QPProblem:
                 bmin[i] = bmax[i] = val
 
     # ---- RANGES ------------------------------------------------------------
-    for line in secs.get("RANGES"):
-        for rname, val in _pairs(line, False):
+    ranges_lines = secs.get("RANGES")
+    no_name_ranges = any(len(l.split()) in (2, 4) for l in ranges_lines)
+    for line in ranges_lines:
+        for rname, val in _pairs(line, no_name_ranges):
+            if rname in free_rows:
+                continue
             i = row_idx[rname]
             s = row_sign[rname]
             if s == "L":
@@ -402,6 +420,9 @@ def _parse_qps_text(text: str) -> QPProblem:
         cname, val = _bound_col_and_val(toks)
         j = col_idx[cname]
         if bt == "FR":
+            if j in bound_row:  # re-bounded later: open the row for now
+                bmin[bound_row[j]] = -QPS_INFTY
+                bmax[bound_row[j]] = QPS_INFTY
             continue
         i = bound_row[j]
         if bt == "UP":

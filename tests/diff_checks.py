@@ -100,6 +100,24 @@ def check_gradient_descent_on_embedded_qp():
     assert val1 < 0.02 * val0
 
 
+def check_gradients_at_loose_solver_tolerance():
+    """Regression (review finding): at the solver's DEFAULT eps_abs=1e-4,
+    inactive constraints converge with residual duals ~eps; the activity
+    threshold must not classify them active, or gradients silently break.
+    Gradients at eps 1e-4 must match gradients at eps 1e-10."""
+    S_loose = Settings(eps_abs=1e-4, eps_rel=1e-4, verbose=False, scaling=0)
+    Q, A, q, bmin, bmax = _qp(5)
+    w = jnp.asarray(np.random.default_rng(42).standard_normal(Q.shape[0]))
+
+    def loss(settings, qv):
+        x = solve_diff(Q, A, qv, bmin, bmax, settings)
+        return jnp.vdot(w, x)
+
+    g_tight = np.asarray(jax.grad(lambda v: loss(S, v))(q))
+    g_loose = np.asarray(jax.grad(lambda v: loss(S_loose, v))(q))
+    np.testing.assert_allclose(g_loose, g_tight, atol=5e-3, rtol=5e-3)
+
+
 def check_vmapped_differentiable_solves():
     """Batched differentiable QPs: vmap(grad(loss)) over stacked problems
     matches the per-problem gradient (the batched-learning pattern)."""
@@ -125,6 +143,7 @@ def check_vmapped_differentiable_solves():
 if __name__ == "__main__":
     check_gradients_match_finite_differences(0)
     check_gradients_match_finite_differences(1)
+    check_gradients_at_loose_solver_tolerance()
     check_gradient_descent_on_embedded_qp()
     check_vmapped_differentiable_solves()
     print("ALL DIFF CHECKS PASSED")

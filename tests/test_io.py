@@ -99,6 +99,45 @@ def test_qps_unnamed_rhs_and_bounds(tmp_path):
     np.testing.assert_allclose(prob.bmax, [1e20, 2.0])
 
 
+def test_qps_free_rows_unnamed_ranges_fr_rebound(tmp_path):
+    """Review regressions: (a) a second N row is a standard MPS free row —
+    its COLUMNS/RHS entries must be ignored, not KeyError; (b) RANGES
+    auto-detects the unnamed format like RHS; (c) FR followed by a
+    tightening bound keeps the variable bounded."""
+    text = textwrap.dedent("""\
+        NAME FRN
+        ROWS
+         N  obj
+         N  freer
+         L  r1
+        COLUMNS
+            x1  obj  1.0  freer  9.0
+            x1  r1  1.0
+            x2  obj  1.0  r1  1.0
+        RHS
+            r1  4.0
+            freer  7.0
+        RANGES
+            r1  1.5
+        BOUNDS
+         FR  x1
+         UP  x1  2.0
+         FR  x2
+        ENDATA
+        """)
+    p = tmp_path / "f.qps"
+    p.write_text(text)
+    prob = load_qps(str(p))
+    # rows: r1 + one bound row for x1 (x2 stays free, no row)
+    assert (prob.n, prob.m) == (2, 2)
+    # RANGES on an L row: bmin = bmax - |val|
+    np.testing.assert_allclose(prob.bmin[0], 4.0 - 1.5)
+    np.testing.assert_allclose(prob.bmax[0], 4.0)
+    # x1: FR then UP 2.0 -> (-inf, 2.0]
+    np.testing.assert_allclose(prob.bmin[1], -1e20)
+    np.testing.assert_allclose(prob.bmax[1], 2.0)
+
+
 def test_settings_file(tmp_path):
     p = tmp_path / "settings.txt"
     p.write_text(
