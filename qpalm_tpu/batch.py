@@ -155,6 +155,7 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
         )
         and settings.time_limit >= C.QPALM_INFTY
         and settings.max_refine == 0
+        and not settings.residuals_fp64
         and settings.unroll == 1
         and B % LANES == 0
         and (2 * n_pad * n_pad + n_pad * m_pad) * LANES * 4 <= 11 * 2**20
@@ -163,7 +164,10 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
         if not eligible:
             raise ValueError("use_fused='always' but the configuration is "
                              "not fused-kernel eligible")
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            raise ValueError("use_fused='always' requires a TPU backend "
+                             f"(got {jax.default_backend()!r})")
+        return True
     return eligible and jax.default_backend() == "tpu"
 
 
@@ -319,6 +323,12 @@ def solve_batch(
                            dua_res_norm=dan)
 
     if settings.nonconvex:
+        if settings.time_limit < C.QPALM_INFTY:
+            raise NotImplementedError(
+                "time_limit is not supported for nonconvex BATCH solves "
+                "(the host-chunked enforcement does not carry the per-lane "
+                "gamma pins); use per-problem QPALM solves for that"
+            )
         return _solve_batch_gi(
             data, x_ws, y_ws, gamma_init, gamma_max, settings, has_ws
         )
@@ -389,7 +399,8 @@ def solve_many(
     for idxs in buckets.values():
         sub = [problems[i] for i in idxs]
         if escalate:
-            res = solve_batch_escalate(sub, settings)
+            res = solve_batch_escalate(sub, settings,
+                                       pad_multiple=pad_multiple)
         else:
             res = solve_batch(sub, settings, pad_multiple=pad_multiple)
         xb = np.asarray(res.x)
@@ -406,6 +417,7 @@ def solve_batch_escalate(
     settings: Optional[Settings] = None,
     fallback_settings: Optional[Settings] = None,
     fallback_device=None,
+    pad_multiple: int = 8,
     **settings_kw,
 ) -> BatchResult:
     """Two-pass batch solve: a fast (typically float32) vmapped pass, then a
@@ -418,10 +430,11 @@ def solve_batch_escalate(
     emulated and slow).  No reference equivalent — C-QPALM is all-double.
     """
     if settings is None:
-        settings = Settings(dtype="float32", **settings_kw)
+        settings_kw.setdefault("dtype", "float32")
+        settings = Settings(**settings_kw)
     elif settings_kw:
         settings = settings.replace(**settings_kw)
-    res = solve_batch(problems, settings)
+    res = solve_batch(problems, settings, pad_multiple=pad_multiple)
     status = np.asarray(res.status)
     bad = [i for i in range(len(problems)) if status[i] != C.QPALM_SOLVED]
     if not bad:

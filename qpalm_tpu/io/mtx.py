@@ -15,22 +15,40 @@ import scipy.sparse as sp
 from .qps import QPS_INFTY, QPProblem
 
 
-def _load_mtx_matrix(path: str, symmetric: bool = False) -> sp.csc_matrix:
+def _load_mtx_matrix(path: str,
+                     symmetric_default: bool = False) -> sp.csc_matrix:
+    """Triplet loader.  Off-diagonals are mirrored ONLY when the banner
+    declares `symmetric` (one-triangle storage) — a `general` file that
+    stores both triangles must not be mirrored or scipy's duplicate
+    summing doubles every off-diagonal.  `symmetric_default` applies when
+    the banner is absent/unrecognized (the reference's Q convention).
+    Standard MatrixMarket '%' comment lines are skipped."""
     with open(path) as f:
-        header = f.readline()  # banner (ignored, like qpalm_mtx.c:16-19)
-        sym_banner = "symmetric" in header.lower()
-        nrow, ncol, nnz = (int(t) for t in f.readline().split()[:3])
+        header = f.readline()
+        hl = header.lower()
+        if "general" in hl:
+            mirror = False
+        elif "symmetric" in hl:
+            mirror = True
+        else:
+            mirror = symmetric_default
+        # skip comment lines before the size line (SuiteSparse exports
+        # put a '%'-comment block after the banner)
+        line = f.readline()
+        while line and line.lstrip().startswith("%"):
+            line = f.readline()
+        nrow, ncol, nnz = (int(t) for t in line.split()[:3])
         rows, cols, vals = [], [], []
         for line in f:
             toks = line.split()
-            if not toks:
+            if not toks or toks[0].startswith("%"):
                 continue
             r, c = int(toks[0]) - 1, int(toks[1]) - 1
             v = max(min(float(toks[2]), QPS_INFTY), -QPS_INFTY)
             rows.append(r)
             cols.append(c)
             vals.append(v)
-            if (symmetric or sym_banner) and r != c:
+            if mirror and r != c:
                 rows.append(c)
                 cols.append(r)
                 vals.append(v)
@@ -43,11 +61,14 @@ def _load_mtx_matrix(path: str, symmetric: bool = False) -> sp.csc_matrix:
 def _load_mtx_vector(path: str) -> np.ndarray:
     with open(path) as f:
         f.readline()  # banner
-        size = int(f.readline().split()[0])
+        line = f.readline()
+        while line and line.lstrip().startswith("%"):
+            line = f.readline()
+        size = int(line.split()[0])
         vals = []
         for line in f:
             toks = line.split()
-            if toks:
+            if toks and not toks[0].startswith("%"):
                 v = float(toks[-1])
                 vals.append(max(min(v, QPS_INFTY), -QPS_INFTY))
     out = np.asarray(vals)
@@ -60,7 +81,7 @@ def load_mtx(a_file, q_file, g_file, bmin_file, bmax_file) -> QPProblem:
     """Load a QP from five MatrixMarket-ish files (A, Q, q, bmin, bmax) —
     the argument order of the reference CLI (run_mtx.sh:3)."""
     A = _load_mtx_matrix(a_file)
-    Q = _load_mtx_matrix(q_file, symmetric=True)
+    Q = _load_mtx_matrix(q_file, symmetric_default=True)
     q = _load_mtx_vector(g_file)
     bmin = _load_mtx_vector(bmin_file)
     bmax = _load_mtx_vector(bmax_file)

@@ -138,6 +138,41 @@ def test_qps_free_rows_unnamed_ranges_fr_rebound(tmp_path):
     np.testing.assert_allclose(prob.bmax[1], 2.0)
 
 
+def test_mtx_general_banner_and_comments(tmp_path):
+    """Review regressions: a `general` banner file storing both triangles
+    must NOT be mirrored (scipy sums duplicates, doubling off-diagonals),
+    and standard '%' comment lines must be skipped."""
+    from qpalm_tpu.io.mtx import _load_mtx_matrix, _load_mtx_vector
+
+    p = tmp_path / "q.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% exported with full storage\n"
+        "2 2 4\n"
+        "1 1 2.0\n"
+        "1 2 0.5\n"
+        "2 1 0.5\n"
+        "% a mid-file comment\n"
+        "2 2 3.0\n"
+    )
+    M = _load_mtx_matrix(str(p), symmetric_default=True).toarray()
+    np.testing.assert_allclose(M, [[2.0, 0.5], [0.5, 3.0]])
+    # symmetric banner: one-triangle storage mirrored
+    p2 = tmp_path / "qs.mtx"
+    p2.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "2 2 3\n"
+        "1 1 2.0\n"
+        "2 1 0.5\n"
+        "2 2 3.0\n"
+    )
+    M2 = _load_mtx_matrix(str(p2)).toarray()
+    np.testing.assert_allclose(M2, [[2.0, 0.5], [0.5, 3.0]])
+    pv = tmp_path / "v.mtx"
+    pv.write_text("%%MatrixMarket\n% comment\n2 1\n1.0\n-2.0\n")
+    np.testing.assert_allclose(_load_mtx_vector(str(pv)), [1.0, -2.0])
+
+
 def test_settings_file(tmp_path):
     p = tmp_path / "settings.txt"
     p.write_text(
