@@ -126,9 +126,13 @@ def _local_spikes(D, E, E_left, E_right, b):
     factors = thomas_factor(D, E)
     rhs_V = jnp.zeros((S, nb, nb), D.dtype).at[0].set(E_left)
     rhs_W = jnp.zeros((S, nb, nb), D.dtype).at[-1].set(E_right.T)
-    V = thomas_solve(D, E, rhs_V, factors)
-    Wsp = thomas_solve(D, E, rhs_W, factors)
-    g = thomas_solve(D, E, b, factors)
+    # one multi-RHS solve: the sequential forward/backward scans dominate
+    # the latency, so [V | W | g] share a single scan pair
+    rhs = jnp.concatenate([rhs_V, rhs_W, b[..., None]], axis=-1)
+    sol = thomas_solve(D, E, rhs, factors)
+    V = sol[..., :nb]
+    Wsp = sol[..., nb:2 * nb]
+    g = sol[..., 2 * nb]
     return V, Wsp, g
 
 

@@ -260,17 +260,21 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         )
         return eq, d.W * z
 
+    # loop-invariant halo of the A' stage coupling: computed once (a
+    # ppermute inside the while-loop body would otherwise run every
+    # iteration — XLA does not hoist collectives out of while loops)
+    Ap_next_const = jnp.concatenate(
+        [d.Ap[1:], halo_right(d.Ap[0])[None]], axis=0
+    )
+
     def at_matvec(w_eq, w_box):
         """A' w for stage-split w."""
         w_next = jnp.concatenate(
             [w_eq[1:], halo_right(w_eq[0])[None]], axis=0
         )
-        Ap_next = jnp.concatenate(
-            [d.Ap[1:], halo_right(d.Ap[0])[None]], axis=0
-        )
         return (
             jnp.einsum("sij,si->sj", d.G, w_eq)
-            - jnp.einsum("sij,si->sj", Ap_next, w_next)
+            - jnp.einsum("sij,si->sj", Ap_next_const, w_next)
             + d.W * w_box
         )
 
@@ -284,9 +288,7 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         sig_eq_next = jnp.concatenate(
             [sig_eq[1:], halo_right(sig_eq[0])[None]], axis=0
         )
-        Ap_next = jnp.concatenate(
-            [d.Ap[1:], halo_right(d.Ap[0])[None]], axis=0
-        )
+        Ap_next = Ap_next_const
         GtSG = jnp.einsum("sri,sr,srj->sij", d.G, sig_eq, d.G)
         ApSAp = jnp.einsum("sri,sr,srj->sij", Ap_next, sig_eq_next, Ap_next)
         ats_D = GtSG + ApSAp + jnp.einsum(
@@ -330,7 +332,10 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         Hz = h_matvec(z)
         df = Hz + d.q
         if prox:
-            df = df - z0 / gamma
+            # core.py's Qx state carries x/gamma, so its df = Qx + q -
+            # x0/gamma expands to H x + q + (x - x0)/gamma — both terms
+            # are needed here where h_matvec is the pure product
+            df = df + (z - z0) / gamma
         Atyh = at_matvec(yh_eq, yh_box)
         dphi = df + Atyh
 
@@ -468,7 +473,6 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
 
         # proximal: gamma step / settled-active-set boost (qpalm.c:612-630)
         gamma_new = gamma
-        z_gam = jnp.zeros_like(z)  # Qx fixup handled implicitly (Hz fresh)
         gmaxed_new = gamma_maxed
         active_old_after = active_old
         nbch_after = nb_changed

@@ -59,6 +59,24 @@ def test_stage_sharded_matches_sequential_settings_matrix(proximal, scaling):
     )
 
 
+def test_stage_sharded_proximal_small_gamma_matches_sequential():
+    """Regression (review finding): the distributed loop's proximal df was
+    missing the +z/gamma term; at the default gamma_init=1e7 the error is
+    ~1e-7 and invisible to the parity matrix, but at a small gamma the
+    semantics diverge.  Parity must hold at gamma_init=100 too."""
+    H, A, q, bmin, bmax, meta = mpc_chain(4, 16, seed=1)
+    data = from_mpc_chain(H, A, q, bmin, bmax, meta)
+    mesh = default_mesh(4, axis_name="stage")
+    s = _settings(True, 2).replace(gamma_init=100.0, gamma_max=1e4)
+    res = solve_mpc_stage_sharded(data, s, mesh, "stage")
+    assert int(res.status) == C.QPALM_SOLVED
+    r = _sequential(H, A, q, bmin, bmax, meta, s)
+    assert int(res.iterations) == int(r.info.iter)
+    np.testing.assert_allclose(
+        np.asarray(res.z).reshape(-1), r.solution.x, atol=1e-6
+    )
+
+
 def test_stage_sharded_warm_start():
     H, A, q, bmin, bmax, meta = mpc_chain(3, 8, seed=2)
     data = from_mpc_chain(H, A, q, bmin, bmax, meta)
