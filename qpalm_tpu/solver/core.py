@@ -451,11 +451,15 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
                 jnp.diagonal(data.Q) + gamma_inv
                 + jnp.einsum("mn,m->n", data.A * data.A, sig_act)
             )
-            gersh = gershgorin_max(
-                jnp.dot(
-                    (data.A * sig_act[:, None]).T, data.A,
-                    preferred_element_type=dtype,
-                )
+            # matrix-free |A|' diag(sig) |A| 1 row-sum bound: assembling
+            # the dense n x n product every inner iteration just for this
+            # scalar defeats the CG mode's whole point (the bound is only
+            # consumed by the rare gamma boost, and a conservative bound
+            # only picks a smaller boosted gamma — same rationale as the
+            # sparse path's ata_gershgorin_upper)
+            absA = jnp.abs(data.A)
+            gersh = jnp.max(
+                absA.T @ (sig_act * (absA @ jnp.ones((data.n,), dtype)))
             )
         if settings.cg_precond == "block_jacobi":
             # factored block diagonals of M: bounds CG iteration growth on

@@ -83,7 +83,7 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
     def kernel(Q_ref, A_ref, q_ref, bmin_ref, bmax_ref, Dinv_ref, Einv_ref,
                cinv_ref,
                _xi, _x0i, _Qxi, _yi, _Axi, _sigi, _prini, _actoldi, _sci,
-               _atyi, _xpi, _tqdi, _tadi, _tdi,
+               _atyi, _xpi, _tqdi, _tadi, _tdi, _certyi, _certxi,
                x_ref, x0_ref, Qx_ref, y_ref, Ax_ref, sig_ref, prin_ref,
                actold_ref, sc_ref,
                aty_ref, xprev_ref, tqd_ref, tad_ref, td_ref,
@@ -340,12 +340,9 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             solved = (pri_norm < eps_pri) & (dua_norm < eps_dua) & ~done
 
             # ---- infeasibility certificates (termination.c:136-240) ----
-            # initialize the certificate outputs once (out refs are
-            # undefined before the first write)
-            @pl.when(t == 0)
-            def _init_certs():
-                certy_ref[:] = jnp.zeros((m, LANES), jnp.float32)
-                certx_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+            # cert refs are aliased state (zeroed at init, carried across
+            # chunked calls so a certificate found in an earlier chunk
+            # survives)
 
             Ev = 1.0 / Einv
             Dv = 1.0 / Dinv
@@ -523,9 +520,10 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 gmaxed_new = jnp.where(
                     boost & (nact2 > 0.5), jnp.float32(1.0), gmaxed_new
                 )
-                # the boost check overwrites the active-set diff
-                # (qpalm.c:617-618 side effect)
-                actold_after = jnp.where(check, act2, actold_after)
+                # the boost check overwrites the active-set DIFF
+                # (qpalm.c:617-618 side effect) but NOT the active_old
+                # baseline (newton.c:116 copies it only at the end of a
+                # newton step)
                 nbch_new = jnp.where(check, jnp.minimum(nb2, 1.0), nbch_new)
                 x0_new = jnp.where(b_sig, x, x0)
 
@@ -543,9 +541,12 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             nb_inner = jnp.sum(
                 jnp.abs(active - actold_ref[:]), axis=0, keepdims=True
             )
+            # the stall counter reads the PREVIOUS newton step's
+            # enter/leave count (reference qpalm.c:664-665; the current
+            # trip's diff is stored for the NEXT trip below)
             no_change_new = jnp.where(
                 b_inner,
-                jnp.where(nb_inner > 0.5, 0.0, no_change_after_outer + 1.0),
+                jnp.where(nbch_new > 0.5, 0.0, no_change_after_outer + 1.0),
                 no_change_after_outer,
             )
             actold_new = jnp.where(b_inner, active, actold_after)
@@ -574,10 +575,12 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             sqs = jnp.sqrt(sig_new)
             tau = linesearch(eta, beta, sqs, Ad, Ax, y_new, sig_new)
 
-            inner_f = b_inner.astype(jnp.float32)
-            x_ref[:] = x + inner_f * tau * d
-            Qx_ref[:] = Qx_g + inner_f * tau * Qd
-            Ax_ref[:] = Ax + inner_f * tau * Ad
+            # jnp.where (not arithmetic masking): a masked-off lane's
+            # Newton/linesearch can produce NaN (e.g. rank-deficient M on
+            # a boosted done lane) and 0 * NaN would poison the state
+            x_ref[:] = jnp.where(b_inner, x + tau * d, x)
+            Qx_ref[:] = jnp.where(b_inner, Qx_g + tau * Qd, Qx_g)
+            Ax_ref[:] = jnp.where(b_inner, Ax + tau * Ad, Ax)
             x0_ref[:] = x0_new
             y_ref[:] = y_new
             sig_ref[:] = jnp.where(b_sig, sig_new, sig)
@@ -690,6 +693,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
         spec(m), spec(_SC_ROWS),
         spec(n), spec(n), spec(n), spec(m), spec(n),
+        spec(m), spec(n),
     ]
     out_specs = tuple(
         [spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
@@ -706,10 +710,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         is compiled once and reused)."""
         out_shape = tuple(
             jax.ShapeDtypeStruct(args[k].shape, jnp.float32)
-            for k in range(8, 22)
-        ) + (
-            jax.ShapeDtypeStruct(args[12].shape, jnp.float32),  # cert_y (m,)
-            jax.ShapeDtypeStruct(args[8].shape, jnp.float32),   # cert_x (n,)
+            for k in range(8, 24)  # 14 state leaves + cert_y + cert_x
         )
         return pl.pallas_call(
             kernel,
@@ -726,7 +727,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             ],
             input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
                                   14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
-                                  19: 11, 20: 12, 21: 13},
+                                  19: 11, 20: 12, 21: 13, 22: 14, 23: 15},
             interpret=interpret,
         )(*args)
 
@@ -744,6 +745,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
                 st.sc[..., sl],
                 st.aty[..., sl], st.x_prev[..., sl], st.tqd[..., sl],
                 st.tad[..., sl], st.td[..., sl],
+                st.cert_y[..., sl], st.cert_x[..., sl],
             )
             blocks.append(one_block(args))
         outs = [
@@ -919,7 +921,9 @@ def solve_batch_fused(
 ):
     """Solve a stacked batch (leading batch axis, as from stack_problems)
     with the fused kernel.  Returns (x (B,n), y (B,m), status (B,),
-    iterations (B,), pri_norm (B,), dua_norm (B,)) — unscaled.
+    iterations (B,), pri_norm (B,), dua_norm (B,), delta_y (B,m),
+    delta_x (B,n)) — unscaled, certificates NaN-free only when the lane
+    reported the matching infeasibility status.
 
     Scaling (reference scaling.c) runs outside the kernel, vmapped; the
     kernel receives per-lane Dinv/Einv/cinv for its termination norms.

@@ -244,6 +244,50 @@ def test_fused_shape_fuzz_matches_general(n, m):
     assert np.max(np.abs(np.asarray(x) - np.asarray(ref.x))) < 1e-4
 
 
+def test_fused_chunked_keeps_certificates():
+    """Regression (review finding): a Farkas certificate found in an early
+    chunk must survive later chunked kernel calls (the cert buffers are
+    aliased state now, not per-call re-zeroed outputs)."""
+    probs = _probs(100, 8, 12, LANES)
+    Q, A, q, bl, bu = probs[3]
+    A2 = A.copy()
+    A2[1] = A2[0]
+    bl2, bu2 = bl.copy(), bu.copy()
+    bl2[0], bu2[0] = 1.0, 2.0
+    bl2[1], bu2[1] = 3.0, 4.0  # contradictory duplicate row
+    probs[3] = (Q, A2, q, bl2, bu2)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=120,
+                 scaling=2, max_refine=0, delta=10.0)
+    data = stack_problems(probs, np.float32)
+    _, _, status, _, _, _, dy, _ = solve_batch_fused(
+        data, s, chunk=10, interpret=True)
+    assert np.asarray(status)[3] == C.QPALM_PRIMAL_INFEASIBLE
+    cert = np.asarray(dy)[3][:12]
+    assert np.abs(cert).max() > 0  # not zeroed by a later chunk
+    assert np.abs(A2.T @ cert).max() <= 1e-3 * np.abs(cert).max()
+
+
+def test_fused_stall_path_matches_general():
+    """Regression (review findings): the kernel's no_change stall counter
+    must read the PREVIOUS newton step's enter/leave count (reference
+    qpalm.c:664-665), and the boost check must not overwrite the
+    active_old baseline (newton.c:116).  A tiny rho collapses the inner
+    tolerance after the first outer update so lanes sit on stable active
+    sets long enough for the no_change==3 trigger to fire; parity with
+    the general solver must survive that path."""
+    probs = _probs(40, 14, 20, LANES)
+    s = Settings(dtype="float32", eps_abs=5e-4, eps_rel=5e-4, max_iter=100,
+                 scaling=2, max_refine=0, delta=10.0, rho=1e-8)
+    data = stack_problems(probs, np.float32)
+    x, y, status, iters, _, _, _, _ = solve_batch_fused(
+        data, s, interpret=True)
+    ref = _general(data, s)
+    assert np.array_equal(np.asarray(status), np.asarray(ref.status))
+    drift = np.asarray(iters) != np.asarray(ref.iterations)
+    assert drift.sum() <= max(2, LANES // 50), np.where(drift)[0]
+    assert np.max(np.abs(np.asarray(x) - np.asarray(ref.x))) < 1e-3
+
+
 def test_fused_routing_eligibility():
     """solve_batch routes to the fused kernel only for eligible configs on
     a TPU backend; `use_fused` overrides behave as documented."""
