@@ -139,6 +139,10 @@ def palm_finish_np(
     pri_res_in = np.zeros((B, m))
     act_old = np.zeros((B, m), bool)
     no_change = np.zeros(B, np.int32)
+    # previous Newton step's active-set change count: the stall counter
+    # reads the PREVIOUS step's enter/leave (qpalm.c:664-665, core.py
+    # inner_step), so the current trip's diff only takes effect next trip
+    prev_changed = np.ones(B, np.int32)
     iter_out = np.zeros(B, np.int32)
     prev_iter = np.zeros(B, np.int32)
     done = np.zeros(B, bool)
@@ -233,10 +237,11 @@ def palm_finish_np(
         # (gather/scatter): done and outer lanes would discard the work
         inner = live & ~outer
         active = (Axys <= bmin) | (Axys >= bmax)
-        changed = (active != act_old).sum(axis=1)
         no_change = np.where(inner,
-                             np.where(changed > 0, 0, no_change + 1),
+                             np.where(prev_changed > 0, 0, no_change + 1),
                              no_change)
+        changed = (active != act_old).sum(axis=1)
+        prev_changed = np.where(inner, changed, prev_changed)
         act_old = np.where(inner[:, None], active, act_old)
         idx = np.where(inner)[0]
         if len(idx) == 0:

@@ -191,12 +191,19 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             kkt_nnz = Q.nnz + 2 * A.nnz + n + m
             if est_schur_nnz > 20 * kkt_nnz:
                 fm = C.FACTORIZE_KKT
+        # analysis patterns are built cancellation-free (abs values):
+        # scipy's sparse `+`/`@` drop exactly-cancelling entries, and a
+        # dropped structural nonzero makes a later factor() raise
+        # "pattern not contained in analyzed pattern" mid-solve on
+        # integer-structured problems
         if fm != C.FACTORIZE_KKT:  # Schur covers every non-KKT mode here
-            pattern = (Q + (A.T @ A) + sp.eye(n)).tocsc()
+            absA = abs(A)
+            pattern = (abs(Q) + (absA.T @ absA) + sp.eye(n)).tocsc()
             ldl = SparseLDL(pattern)
         if fm in (C.FACTORIZE_KKT, C.FACTORIZE_KKT_OR_SCHUR):
             kkt_pattern = sp.bmat(
-                [[Q + sp.eye(n), At], [A, sp.eye(m)]], format="csc"
+                [[abs(Q) + sp.eye(n), abs(At)], [abs(A), sp.eye(m)]],
+                format="csc",
             )
             ldl_kkt = SparseLDL(kkt_pattern)
         if fm == C.FACTORIZE_KKT_OR_SCHUR:
@@ -379,8 +386,11 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     act2 = (Axys2 <= bmin) | (Axys2 >= bmax)
                     nb_e2 = int(np.sum(act2 & ~active_old))
                     nb_l2 = int(np.sum(~act2 & active_old))
+                    # the boost check overwrites active and the counts
+                    # (qpalm.c:617-618 side effect) but NOT active_old —
+                    # that baseline is copied only at the end of a Newton
+                    # step (newton.c:116; device twin: core.py)
                     active = act2
-                    active_old = act2.copy()
                     nb_enter, nb_leave = nb_e2, nb_l2
                     if nb_e2 == 0 and nb_l2 == 0:
                         nact = int(act2.sum())
@@ -403,10 +413,14 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
             prev_it = it
         else:
             # ---- inner semismooth-Newton step (qpalm.c:662-678) ----
+            # the stall counter reads the PREVIOUS Newton step's
+            # enter/leave counts (qpalm.c:664-665; device twin:
+            # core.py inner_step) — update it from the carried counts
+            # before computing this trip's active-set diff
+            no_change = 0 if nb_enter + nb_leave > 0 else no_change + 1
             act = (Axys <= bmin) | (Axys >= bmax)
             nb_enter = int(np.sum(act & ~active_old))
             nb_leave = int(np.sum(~act & active_old))
-            no_change = 0 if nb_enter + nb_leave > 0 else no_change + 1
             changed = bool(np.any(act != active))
             active = act
             active_old = act.copy()

@@ -557,9 +557,13 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         nbch_new = jnp.where(
             do_inner, jnp.minimum(enter_leave, 1), nbch_after
         )
+        # the stall counter reads the PREVIOUS Newton step's enter/leave
+        # flag (qpalm.c:664-665; device twin core.py inner_step), i.e. the
+        # carried nb_changed — NOT this trip's enter_leave, which becomes
+        # next trip's nb_changed via nbch_new
         no_change_new = jnp.where(
             do_inner,
-            jnp.where(enter_leave > 0, 0, no_change_after + 1),
+            jnp.where(nb_changed > 0, 0, no_change_after + 1),
             no_change_after,
         )
 
