@@ -640,7 +640,14 @@ def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None)
 
         if settings.enable_dual_termination:
             dual_obj = compute_dual_objective(st, data, scal, settings, LQ)
-            terminated = dual_obj > settings.dual_objective_limit
+            # NaN-guard: a PSD-singular Q NaNs the Q-Cholesky solve; the
+            # check must then deterministically not fire (the solver falls
+            # through to normal termination) rather than rely on NaN
+            # comparison semantics
+            terminated = (
+                jnp.isfinite(dual_obj)
+                & (dual_obj > settings.dual_objective_limit)
+            )
             st = st._replace(
                 dual_objective=dual_obj,
                 done=st.done | terminated,

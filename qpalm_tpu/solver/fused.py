@@ -440,7 +440,14 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                     axis=0, keepdims=True,
                 )
                 dobj = (-0.5 * g_v - contrib) * cinv + sc[_COBJ][None]
-                dual_term = b_outer & (dobj > jnp.float32(dual_limit))
+                # NaN-guard (PSD-singular Q NaNs the Q-Cholesky): the
+                # check must deterministically not fire on non-finite
+                # dual objectives
+                dual_term = (
+                    b_outer
+                    & jnp.isfinite(dobj)
+                    & (dobj > jnp.float32(dual_limit))
+                )
             else:
                 dual_term = jnp.zeros_like(b_outer)
 

@@ -124,6 +124,23 @@ def test_basic_qp_dual_objective():
     )
 
 
+def test_dual_termination_psd_singular_q():
+    """A PSD-singular Q NaNs the dual-objective Q-Cholesky; the NaN guard
+    must keep the dual check from firing so the solve degrades gracefully
+    to normal termination (reference caveat: qpalm.c:456-469 assumes PD)."""
+    Qs = np.diag([1.0, 1.0, 0.0, 0.0])  # rank-deficient PSD
+    s = base_settings(enable_dual_termination=True, dual_objective_limit=-1e20)
+    solver = QPALM(Qs, A, q, bmin, bmax, settings=s)
+    res = solver.solve()
+    # with a -1e20 limit ANY finite dual objective would terminate
+    # immediately as QPALM_DUAL_TERMINATED; a singular Q must instead ride
+    # the guard and solve to optimality
+    assert int(res.info.status_val) == qpalm_tpu.QPALM_SOLVED
+    kkt_check(Qs, A, q, bmin, bmax,
+              np.asarray(res.solution.x), np.asarray(res.solution.y),
+              tol=1e-5)
+
+
 def test_basic_qp_float32():
     """The f32 speed mode solves to loose tolerance."""
     s = base_settings(eps_abs=1e-3, eps_rel=1e-3, dtype="float32")
