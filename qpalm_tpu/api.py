@@ -396,7 +396,7 @@ def solve(Q, A, q, bmin, bmax, c=0.0, settings: Optional[Settings] = None,
     elif settings_kw:
         settings = settings.replace(**settings_kw)
     is_scipy = hasattr(Q, "tocoo") and hasattr(A, "tocoo")
-    if (is_scipy and Q.shape[0] >= 2048 and not settings.nonconvex
+    if (is_scipy and Q.shape[0] >= 2048
             and not settings.enable_dual_termination
             and settings.factorization_method == C.FACTORIZE_KKT_OR_SCHUR
             and settings.time_limit >= C.QPALM_INFTY):

@@ -115,13 +115,6 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     elif settings_kw:
         settings = settings.replace(**settings_kw)
     validate_settings(settings)
-    if settings.nonconvex:
-        # the host path has no LOBPCG gamma pinning, and an indefinite Q
-        # breaks the no-pivot LDL' (Schur PD-ness / KKT quasi-definiteness
-        # both need Q + (1/gamma) I > 0) — use the device solver
-        # (Settings(nonconvex=True)) for nonconvex problems
-        raise ValueError("solve_sparse_direct supports convex problems "
-                         "only; use the device solver for nonconvex=True")
     Q = sp.csc_matrix(Q).astype(np.float64)
     A = sp.csc_matrix(A).astype(np.float64)
     q = np.asarray(q, np.float64).ravel().copy()
@@ -168,6 +161,36 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     Dinv = 1.0 / D
     Einv = 1.0 / E
     cinv = 1.0 / cost
+
+    # ---- nonconvex gamma pinning (reference nonconvex.c:171-183, run on
+    # the SCALED Q like qpalm_setup -> set_settings_nonconvex,
+    # qpalm.c:294-296).  lambda_min comes from the matrix-free LOBPCG with
+    # the reference's safe lower bound, so Q + (1/gamma) I stays strictly
+    # PD and the no-pivot LDL' (Schur PD-ness / KKT quasi-definiteness)
+    # remains valid
+    nonconvex = bool(s.nonconvex)
+    gamma_pinned = False
+    gamma_max_eff = float(s.gamma_max)
+    if nonconvex:
+        from .solver.nonconvex import lobpcg_min_eig_np
+
+        if reuse is not None and "nc_lam_costfree" in reuse:
+            # parametric re-solves keep Q and the Ruiz D (Ruiz runs on A
+            # only), but the cost scaling tracks q — cache the bound for
+            # D Q D and rescale (qpalm_update_q/bounds never re-run
+            # set_settings_nonconvex either, solver pins once)
+            lam = reuse["nc_lam_costfree"] * cost
+        else:
+            lam = lobpcg_min_eig_np(lambda v: Q @ v, n)
+            if reuse is not None:
+                reuse["nc_lam_costfree"] = lam * cinv
+        if lam < 0:
+            s = s.replace(proximal=True)
+            gamma_pinned = True
+            gamma_max_eff = 1.0 / abs(lam)
+        else:
+            nonconvex = False
+            s = s.replace(nonconvex=False)
 
     # ---- symbolic analysis on the all-active superset pattern -------------
     # (cached across parametric re-solves via `reuse`: q/bound updates keep
@@ -227,7 +250,8 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         gersh_r1 = float(absA_kkt.sum(axis=0).max()) if A.nnz else 0.0
 
     # ---- warm start / state (qpalm.c:322-399) -----------------------------
-    gamma = float(s.gamma_init)
+    gamma = gamma_max_eff if gamma_pinned else float(s.gamma_init)
+    eps_k_abs, eps_k_rel = float(s.eps_abs_in), float(s.eps_rel_in)
     if x0 is not None:
         x = np.asarray(x0, np.float64).ravel() * Dinv
     else:
@@ -249,7 +273,9 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     active = np.zeros(m, bool)
     active_old = np.zeros(m, bool)
     factor_valid = False
-    gamma_maxed = False
+    gamma_shrunk = False
+    gamma_maxed = gamma_pinned  # pinned gamma never boosts (device twin:
+    # core.init_state gamma_maxed = nonconvex)
     gersh = 0.0
     nb_enter = nb_leave = 0
     no_change = 0
@@ -374,12 +400,25 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                 y = yh
                 eps_abs_in = max(s.eps_abs, s.rho * eps_abs_in)
                 eps_rel_in = max(s.eps_rel, s.rho * eps_rel_in)
-            if s.proximal:
+            if nonconvex:
+                # gamma stays pinned at 1/|lambda_min| (no boost/step);
+                # the proximal center moves only when the primal residual
+                # has caught up to the eps_k ladder (qpalm.c:586-609;
+                # device twin: core.py outer_update nonconvex branch)
+                if outer_trigger:
+                    eps_k = eps_k_abs + eps_k_rel * max(
+                        _norm_inf(Einv * Ax), _norm_inf(Einv * z)
+                    )
+                    if pri_norm < eps_k:
+                        xprev_center = x.copy()
+                        eps_k_abs = max(s.eps_abs, s.rho * eps_k_abs)
+                        eps_k_rel = max(s.eps_rel, s.rho * eps_k_rel)
+            elif s.proximal:
                 check = (outer_trigger and not gamma_maxed and it_out > 0
                          and nb_enter == 0 and nb_leave == 0
                          and pri_norm < eps_pri)
-                stepped = (min(gamma * s.gamma_upd, s.gamma_max)
-                           if gamma < s.gamma_max else gamma)
+                stepped = (min(gamma * s.gamma_upd, gamma_max_eff)
+                           if gamma < gamma_max_eff else gamma)
                 new_gamma = gamma
                 if check:
                     Axys2 = Ax + y / sigma
@@ -459,10 +498,27 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                         [Q.data, A.data * act_mask[A.indices],
                          dblock_vals])
                     Kmat.data[:] = src_vals[kkt_idx]
-                    ldl_kkt.factor(
-                        Kmat, shift=(1.0 / gamma if s.proximal else 0.0),
-                        shift_size=n,
-                    )
+                    while True:
+                        try:
+                            ldl_kkt.factor(
+                                Kmat,
+                                shift=(1.0 / gamma if s.proximal else 0.0),
+                                shift_size=n,
+                            )
+                            break
+                        except np.linalg.LinAlgError:
+                            # LDL' diagonal safeguard: the pinned gamma
+                            # should keep Q + (1/gamma) I PD (LOBPCG safe
+                            # bound), but rounding on hard spectra can
+                            # still zero a pivot — harden the pin and
+                            # retry (the reference aborts here;
+                            # nonconvex.c's bound makes it unreachable)
+                            if not (nonconvex and gamma > 1e-12):
+                                raise
+                            Qx += (10.0 / gamma - 1.0 / gamma) * x
+                            gamma *= 0.1
+                            gamma_max_eff = gamma
+                            gamma_shrunk = True
                     # Gershgorin-style upper bound on ||A' Sigma_act A||:
                     # ||A'||_inf * ||Sigma_act A||_inf (the exact row-sum
                     # bound needs A'A, which KKT mode exists to avoid; a
@@ -479,9 +535,27 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     # Gershgorin bound of AtsA (nonconvex.c:185-210)
                     gersh = float(np.abs(AtsA).sum(axis=1).max()) \
                         if AtsA.nnz else 0.0
-                    ldl.factor(M, shift=(1.0 / gamma if s.proximal
-                                         else 0.0))
+                    while True:
+                        try:
+                            ldl.factor(M, shift=(1.0 / gamma if s.proximal
+                                                 else 0.0))
+                            break
+                        except np.linalg.LinAlgError:
+                            # LDL' diagonal safeguard (see the KKT twin)
+                            if not (nonconvex and gamma > 1e-12):
+                                raise
+                            Qx += (10.0 / gamma - 1.0 / gamma) * x
+                            gamma *= 0.1
+                            gamma_max_eff = gamma
+                            gamma_shrunk = True
                 factor_valid = True
+            if gamma_shrunk:
+                # the residual/rhs quantities were computed with the old
+                # gamma — recompute the Newton gradient so the direction
+                # matches the hardened matrix
+                gamma_shrunk = False
+                df = Qx + q - xprev_center / gamma
+                dphi = df + Atyh
             if use_kkt:
                 rhs = np.concatenate([-dphi, np.zeros(m)])
                 sol = ldl_kkt.solve(rhs)

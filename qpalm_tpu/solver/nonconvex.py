@@ -178,3 +178,84 @@ def min_eig_settings(lam: float, settings):
             gamma_max=1.0 / abs(lam),
         )
     return settings.replace(nonconvex=False)
+
+
+def lobpcg_min_eig_np(matvec, n: int, seed: int = 0) -> float:
+    """Matrix-free numpy twin of :func:`lobpcg_min_eig` for the host sparse
+    path (reference nonconvex.c:29-168 run on scipy matrices).
+
+    `matvec` maps a (n,) vector to Q @ v.  Returns the reference's safe
+    lower bound lambda - (sqrt(2) ||w||_2 + 1e-6) on the minimum
+    eigenvalue, so Q + (1/|lambda|) I stays strictly PD when pinned.
+    """
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    if n <= 3:
+        # LOBPCG's 3-vector subspace degenerates at n <= 3 (the reference
+        # special-cases these too); the dense eigensolve is trivial here
+        cols = [matvec(_np.eye(n)[:, j]) for j in range(n)]
+        return float(_np.linalg.eigvalsh(_np.column_stack(cols))[0]) - 1e-6
+
+    x = rng.random(n)
+    x /= _np.linalg.norm(x)
+    Ax = matvec(x)
+    lam = float(x @ Ax)
+
+    # first iteration: 2x2 standard eigenproblem (nonconvex.c:84-101)
+    w = Ax - lam * x
+    w = w - (x @ w) * x
+    nw = _np.linalg.norm(w)
+    if nw == 0.0:
+        return lam - 1e-6
+    w /= nw
+    Aw = matvec(w)
+    B2 = _np.array([[lam, Aw @ x], [Aw @ x, Aw @ w]])
+    w2, V2 = _np.linalg.eigh(B2)
+    lam = float(w2[0])
+    y = V2[:, 0]
+    p = y[1] * w
+    Ap = y[1] * Aw
+    x = y[0] * x + p
+    Ax = y[0] * Ax + Ap
+
+    for _ in range(LOBPCG_MAX_ITER):
+        w = Ax - lam * x
+        if _np.abs(w).max() < LOBPCG_TOL:
+            break
+        w = w - (x @ w) * x
+        nw = _np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        w /= nw
+        Aw = matvec(w)
+        pn = _np.linalg.norm(p)
+        if pn == 0.0:
+            break
+        p = p / pn
+        Ap = Ap / pn
+        B = _np.array([
+            [lam, Ax @ w, Ax @ p],
+            [Ax @ w, w @ Aw, Aw @ p],
+            [Ax @ p, Aw @ p, Ap @ p],
+        ])
+        Cm = _np.eye(3)
+        Cm[0, 2] = Cm[2, 0] = x @ p
+        Cm[1, 2] = Cm[2, 1] = w @ p
+        try:
+            import scipy.linalg as _sla
+            ww, VV = _sla.eigh(B, Cm)
+        except Exception:
+            # Cm ill-conditioned: restart the p direction
+            p = _np.zeros(n)
+            Ap = _np.zeros(n)
+            continue
+        lam = float(ww[0])
+        y = VV[:, 0]
+        p = y[2] * p + y[1] * w
+        Ap = y[2] * Ap + y[1] * Aw
+        x = y[0] * x + p
+        Ax = y[0] * Ax + Ap
+
+    w = Ax - lam * x
+    return lam - (float(_np.sqrt(2.0) * _np.linalg.norm(w)) + 1e-6)
