@@ -142,9 +142,10 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
                     m_pad: int) -> bool:
     """Route a batch solve through the fused Pallas kernel?  Only on a real
     TPU backend, f32, SCHUR-class convex configuration, 128-lane-aligned
-    batch, and VMEM-fitting shapes (Q + A + M scratch + state per block
-    under ~11 MB).  `Settings.use_fused` overrides ("never"/"always")."""
-    from .solver.fused import LANES
+    batch, and shapes with a valid kernel memory plan (all-VMEM, or the
+    Schur matrix in VMEM with Q/A streamed from HBM — pick_qa_panel).
+    `Settings.use_fused` overrides ("never"/"always")."""
+    from .solver.fused import LANES, pick_qa_panel
 
     if settings.use_fused == "never":
         return False
@@ -158,7 +159,7 @@ def _fused_eligible(settings: Settings, B: int, n_pad: int,
         and not settings.residuals_fp64
         and settings.unroll == 1
         and B % LANES == 0
-        and (2 * n_pad * n_pad + n_pad * m_pad) * LANES * 4 <= 11 * 2**20
+        and pick_qa_panel(n_pad, m_pad) >= 0
     )
     if settings.use_fused == "always":
         if not eligible:

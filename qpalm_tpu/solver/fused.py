@@ -56,8 +56,39 @@ _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _STATUS, _GAMMA_MAX, _EPSK_ABS, _EPSK_REL, _COBJ, _SC_ROWS = range(19)
 
 
-def _make_kernel(n: int, m: int, T: int, s: Settings):
-    """Build the kernel body for static (n, m, chunk length, settings)."""
+def pick_qa_panel(n_pad: int, m_pad: int) -> int:
+    """Fused-kernel memory plan for a padded (n, m) shape.
+
+    Returns 0 when the whole working set (Q, A, M scratch, state) fits the
+    all-VMEM kernel budget; a panel height P > 0 when only the Schur matrix
+    and vector state fit VMEM and Q/A must stream from HBM in P-row panels
+    (double-buffered DMA); -1 when even the Schur matrix blows the budget
+    (the batch router then falls back to the XLA loop).  This is the one
+    seam deciding the VMEM wall the reference never has (its LADEL factor
+    lives in host memory, SURVEY §3.2)."""
+    if (2 * n_pad * n_pad + n_pad * m_pad) * LANES * 4 <= 11 * 2**20:
+        return 0
+    for P in (16, 8):
+        if n_pad % P or m_pad % P:
+            continue
+        vmem = (
+            n_pad * n_pad            # M_s (Schur factor scratch)
+            + 2 * P * n_pad          # double-buffered Q/A panel
+            + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
+        ) * LANES * 4
+        if vmem <= 13 * 2**20:
+            return P
+    return -1
+
+
+def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
+    """Build the kernel body for static (n, m, chunk length, settings).
+
+    `qa_panel` 0 keeps Q and A VMEM-resident; P > 0 leaves them in HBM and
+    streams P-row panels through a shared double-buffered VMEM scratch —
+    every Q/A access in the solver is a sequential row sweep (matvecs,
+    Schur assembly), so streaming only re-shapes those sweeps and leaves
+    the parity-critical iteration logic untouched."""
     eps_abs = float(s.eps_abs)
     eps_rel = float(s.eps_rel)
     eps_pinf = float(s.eps_prim_inf)
@@ -80,6 +111,8 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
         return jnp.sum(jnp.where(iota == k, vec_ref_val, 0.0), axis=0,
                        keepdims=True)
 
+    P = int(qa_panel)
+
     def kernel(Q_ref, A_ref, q_ref, bmin_ref, bmax_ref, Dinv_ref, Einv_ref,
                cinv_ref,
                _xi, _x0i, _Qxi, _yi, _Axi, _sigi, _prini, _actoldi, _sci,
@@ -88,7 +121,7 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                actold_ref, sc_ref,
                aty_ref, xprev_ref, tqd_ref, tad_ref, td_ref,
                certy_ref, certx_ref,
-               M_s, d_s, yh_s, w_s, Qd_s, Ad_s):
+               M_s, d_s, yh_s, w_s, Qd_s, Ad_s, *qa_scratch):
         # the state inputs alias the state outputs buffer-for-buffer
         # (input_output_aliases below), so the kernel reads and writes
         # through the out refs only; the *_i refs are the same memory.
@@ -100,39 +133,111 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
         Einv = Einv_ref[:]
         cinv = cinv_ref[:]
 
-        def matvec_At(vsrc_ref, out_ref):
-            """out (n, LANES) = A' @ vsrc, lane-vectorized."""
-            out_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+        if P:
+            qa_buf, dma_sems = qa_scratch
 
-            def step(mi, _):
-                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
-                vrow = vsrc_ref[pl.ds(mi, 1), :]             # (1, LANES)
-                out_ref[:] = out_ref[:] + arow * vrow
-                return 0
+            def sweep(src_ref, nrows, body):
+                """Double-buffered P-row panel sweep of an HBM operand:
+                DMA panel k+1 into the other slot while body(k, panel)
+                consumes panel k.  Panels are (P, n, LANES) values."""
+                nP = nrows // P
 
-            jax.lax.fori_loop(0, m, step, 0)
+                def start(k, slot):
+                    pltpu.make_async_copy(
+                        src_ref.at[pl.ds(k * P, P)], qa_buf.at[slot],
+                        dma_sems.at[slot],
+                    ).start()
 
-        def matvec_A(vsrc_ref, out_ref):
-            """out (m, LANES) = A @ vsrc, lane-vectorized."""
-            def step(mi, _):
-                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
-                out_ref[pl.ds(mi, 1), :] = jnp.sum(
-                    arow * vsrc_ref[:], axis=0, keepdims=True
-                )
-                return 0
+                start(0, 0)
 
-            jax.lax.fori_loop(0, m, step, 0)
+                def step(k, _):
+                    slot = jax.lax.rem(k, 2)
 
-        def matvec_Q(vsrc_ref, out_ref):
-            """out (n, LANES) = Q @ vsrc (Q symmetric, row sweep)."""
-            def step(i, _):
-                qrow = Q_ref[pl.ds(i, 1), :, :][0]           # (n, LANES)
-                out_ref[pl.ds(i, 1), :] = jnp.sum(
-                    qrow * vsrc_ref[:], axis=0, keepdims=True
-                )
-                return 0
+                    @pl.when(k + 1 < nP)
+                    def _():
+                        start(k + 1, jax.lax.rem(k + 1, 2))
 
-            jax.lax.fori_loop(0, n, step, 0)
+                    pltpu.make_async_copy(
+                        src_ref.at[pl.ds(k * P, P)], qa_buf.at[slot],
+                        dma_sems.at[slot],
+                    ).wait()
+                    body(k, qa_buf[slot])
+                    return 0
+
+                jax.lax.fori_loop(0, nP, step, 0)
+
+            def matvec_At(vsrc_ref, out_ref):
+                """out (n, LANES) = A' @ vsrc, A streamed in panels."""
+                out_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+
+                def body(k, panel):
+                    vrows = vsrc_ref[pl.ds(k * P, P), :]     # (P, LANES)
+                    out_ref[:] = out_ref[:] + jnp.sum(
+                        panel * vrows[:, None, :], axis=0
+                    )
+
+                sweep(A_ref, m, body)
+
+            def matvec_A(vsrc_ref, out_ref):
+                """out (m, LANES) = A @ vsrc, A streamed in panels."""
+                def body(k, panel):
+                    out_ref[pl.ds(k * P, P), :] = jnp.sum(
+                        panel * vsrc_ref[:][None, :, :], axis=1
+                    )
+
+                sweep(A_ref, m, body)
+
+            def matvec_Q(vsrc_ref, out_ref):
+                """out (n, LANES) = Q @ vsrc, Q streamed in panels."""
+                def body(k, panel):
+                    out_ref[pl.ds(k * P, P), :] = jnp.sum(
+                        panel * vsrc_ref[:][None, :, :], axis=1
+                    )
+
+                sweep(Q_ref, n, body)
+
+            def set_Ms_from_Q():
+                def body(k, panel):
+                    M_s[pl.ds(k * P, P), :, :] = panel
+
+                sweep(Q_ref, n, body)
+        else:
+            def matvec_At(vsrc_ref, out_ref):
+                """out (n, LANES) = A' @ vsrc, lane-vectorized."""
+                out_ref[:] = jnp.zeros((n, LANES), jnp.float32)
+
+                def step(mi, _):
+                    arow = A_ref[pl.ds(mi, 1), :, :][0]      # (n, LANES)
+                    vrow = vsrc_ref[pl.ds(mi, 1), :]         # (1, LANES)
+                    out_ref[:] = out_ref[:] + arow * vrow
+                    return 0
+
+                jax.lax.fori_loop(0, m, step, 0)
+
+            def matvec_A(vsrc_ref, out_ref):
+                """out (m, LANES) = A @ vsrc, lane-vectorized."""
+                def step(mi, _):
+                    arow = A_ref[pl.ds(mi, 1), :, :][0]      # (n, LANES)
+                    out_ref[pl.ds(mi, 1), :] = jnp.sum(
+                        arow * vsrc_ref[:], axis=0, keepdims=True
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, m, step, 0)
+
+            def matvec_Q(vsrc_ref, out_ref):
+                """out (n, LANES) = Q @ vsrc (Q symmetric, row sweep)."""
+                def step(i, _):
+                    qrow = Q_ref[pl.ds(i, 1), :, :][0]       # (n, LANES)
+                    out_ref[pl.ds(i, 1), :] = jnp.sum(
+                        qrow * vsrc_ref[:], axis=0, keepdims=True
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, n, step, 0)
+
+            def set_Ms_from_Q():
+                M_s[:] = Q_ref[:]
 
         def chol_solve_Ms_ds():
             """Factor M_s in place (upper R, R'R = M, lane-vectorized) and
@@ -180,20 +285,48 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
             """M = Q + A'diag(w)A (+ gamma_inv I); d = M^{-1} (-dphi).
             w_s holds the masked sigma, d_s holds -dphi on entry and the
             direction on exit.  Returns the Gershgorin bound of A'WA."""
-            M_s[:] = Q_ref[:]
+            if P:
+                # streaming order: assemble A'WA first so the Gershgorin
+                # bound reads it directly (no second Q pass), then add the
+                # streamed Q panels — same math, different f32 rounding
+                # than the VMEM path's (Q + A'WA) - Q
+                M_s[:] = jnp.zeros((n, n, LANES), jnp.float32)
 
-            def asm(mi, _):
-                arow = A_ref[pl.ds(mi, 1), :, :][0]          # (n, LANES)
-                wrow = w_s[pl.ds(mi, 1), :]                  # (1, LANES)
-                M_s[:] = M_s[:] + (wrow * arow)[:, None, :] * arow[None, :, :]
-                return 0
+                def asm(k, panel):
+                    wrows = w_s[pl.ds(k * P, P), :]          # (P, LANES)
+                    for p in range(P):
+                        arow = panel[p]                      # (n, LANES)
+                        wrow = wrows[p:p + 1]                # (1, LANES)
+                        M_s[:] = M_s[:] + (wrow * arow)[:, None, :] \
+                            * arow[None, :, :]
 
-            jax.lax.fori_loop(0, m, asm, 0)
-            # Gershgorin upper bound of A'WA = M - Q: all entries of a PSD
-            # Gram matrix row; diagonal is >= 0 so plain |.| row sums work
-            G = M_s[:] - Q_ref[:]
-            gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
-                            keepdims=True)                    # (1, LANES)
+                sweep(A_ref, m, asm)
+                gersh = jnp.max(jnp.sum(jnp.abs(M_s[:]), axis=1), axis=0,
+                                keepdims=True)               # (1, LANES)
+
+                def addq(k, panel):
+                    M_s[pl.ds(k * P, P), :, :] = (
+                        M_s[pl.ds(k * P, P), :, :] + panel
+                    )
+
+                sweep(Q_ref, n, addq)
+            else:
+                M_s[:] = Q_ref[:]
+
+                def asm(mi, _):
+                    arow = A_ref[pl.ds(mi, 1), :, :][0]      # (n, LANES)
+                    wrow = w_s[pl.ds(mi, 1), :]              # (1, LANES)
+                    M_s[:] = M_s[:] + (wrow * arow)[:, None, :] \
+                        * arow[None, :, :]
+                    return 0
+
+                jax.lax.fori_loop(0, m, asm, 0)
+                # Gershgorin upper bound of A'WA = M - Q: all entries of a
+                # PSD Gram matrix row; diagonal is >= 0 so plain |.| row
+                # sums work
+                G = M_s[:] - Q_ref[:]
+                gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
+                                keepdims=True)               # (1, LANES)
             if proximal:
                 # 3-D iota from the start: Mosaic cannot reshape i1
                 # vectors to add a minor dim, so the mask is built f32
@@ -431,7 +564,7 @@ def _make_kernel(n: int, m: int, T: int, s: Settings):
                 # reference's own caveat).  Reuses M_s/d_s, which the
                 # Newton step below rebuilds from scratch anyway.
                 g_dual = Atyh + q
-                M_s[:] = Q_ref[:]
+                set_Ms_from_Q()
                 d_s[:] = g_dual
                 chol_solve_Ms_ds()
                 g_v = jnp.sum(g_dual * d_s[:], axis=0, keepdims=True)
@@ -672,19 +805,26 @@ class FusedState(NamedTuple):
     cert_x: jnp.ndarray   # (n, B) dual-infeasibility certificate
 
 
-@functools.partial(jax.jit, static_argnames=("T", "settings", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("T", "settings", "interpret", "qa_panel")
+)
 def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
-                interpret: bool = False) -> FusedState:
+                interpret: bool = False, qa_panel: int = -2) -> FusedState:
     """Run T solver iterations on lane-last stacked data.
 
     data_t: (Q (n,n,B), A (m,n,B), q (n,B), bmin (m,B), bmax (m,B))
     scal_t: (Dinv (n,B), Einv (m,B), cinv (1,B))  — identity when unscaled.
+    `qa_panel` -2 picks the memory plan from the shape (pick_qa_panel);
+    0 forces the all-VMEM kernel, P > 0 forces HBM-streamed Q/A panels.
     """
     Q, A, q, bmin, bmax = data_t
     n, _, B = Q.shape
     m = A.shape[0]
     assert B % LANES == 0, B
-    kernel = _make_kernel(n, m, T, settings)
+    if qa_panel == -2:
+        qa_panel = pick_qa_panel(n, m)
+    assert qa_panel >= 0, (n, m, qa_panel)
+    kernel = _make_kernel(n, m, T, settings, qa_panel)
 
     def spec(rows):
         return pl.BlockSpec((rows, LANES), lambda: (0, 0),
@@ -694,8 +834,14 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         return pl.BlockSpec((r1, r2, LANES), lambda: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [
-        spec3(n, n), spec3(m, n), spec(n), spec(m), spec(m),
+    if qa_panel:
+        # Q and A stay HBM-resident; the kernel DMAs P-row panels
+        qa_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+    else:
+        qa_specs = [spec3(n, n), spec3(m, n)]
+    in_specs = qa_specs + [
+        spec(n), spec(m), spec(m),
         spec(n), spec(m), spec(1),
         spec(n), spec(n), spec(n), spec(m), spec(m), spec(m), spec(m),
         spec(m), spec(_SC_ROWS),
@@ -719,19 +865,25 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             jax.ShapeDtypeStruct(args[k].shape, jnp.float32)
             for k in range(8, 24)  # 14 state leaves + cert_y + cert_x
         )
+        scratch_shapes = [
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # M_s
+            pltpu.VMEM((n, LANES), jnp.float32),      # d_s
+            pltpu.VMEM((m, LANES), jnp.float32),      # yh_s
+            pltpu.VMEM((m, LANES), jnp.float32),      # w_s
+            pltpu.VMEM((n, LANES), jnp.float32),      # Qd_s
+            pltpu.VMEM((m, LANES), jnp.float32),      # Ad_s
+        ]
+        if qa_panel:
+            scratch_shapes += [
+                pltpu.VMEM((2, qa_panel, n, LANES), jnp.float32),  # qa_buf
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((n, n, LANES), jnp.float32),   # M_s
-                pltpu.VMEM((n, LANES), jnp.float32),      # d_s
-                pltpu.VMEM((m, LANES), jnp.float32),      # yh_s
-                pltpu.VMEM((m, LANES), jnp.float32),      # w_s
-                pltpu.VMEM((n, LANES), jnp.float32),      # Qd_s
-                pltpu.VMEM((m, LANES), jnp.float32),      # Ad_s
-            ],
+            scratch_shapes=scratch_shapes,
             input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
                                   14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
                                   19: 11, 20: 12, 21: 13, 22: 14, 23: 15},
@@ -891,7 +1043,8 @@ def _finish(data_t, scal, st: FusedState):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("settings", "has_x", "has_y", "interpret")
+    jax.jit,
+    static_argnames=("settings", "has_x", "has_y", "interpret", "qa_panel"),
 )
 def fused_solve_jit(
     data: QPData,
@@ -903,6 +1056,7 @@ def fused_solve_jit(
     interpret: bool = False,
     gamma_init=None,
     gamma_max=None,
+    qa_panel: int = -2,
 ):
     """The whole fused solve (scale + init + max_iter kernel iterations +
     unscale) as ONE jitted program — the form the benchmark dispatches.
@@ -912,7 +1066,7 @@ def fused_solve_jit(
         data, settings, x_ws, y_ws, has_x, has_y, gamma_init, gamma_max
     )
     st = fused_chunk(data_t, scal_t, st, int(settings.max_iter), settings,
-                     interpret)
+                     interpret, qa_panel)
     return _finish(data_t, scal, st)
 
 
@@ -925,6 +1079,7 @@ def solve_batch_fused(
     interpret: bool = False,
     gamma_init=None,
     gamma_max=None,
+    qa_panel: int = -2,
 ):
     """Solve a stacked batch (leading batch axis, as from stack_problems)
     with the fused kernel.  Returns (x (B,n), y (B,m), status (B,),
@@ -952,6 +1107,7 @@ def solve_batch_fused(
             has_x=x_ws is not None, has_y=y_ws is not None,
             interpret=interpret,
             gamma_init=gamma_init, gamma_max=gamma_max,
+            qa_panel=qa_panel,
         )
 
     data_t, scal_t, scal, st = _prepare(
@@ -961,7 +1117,8 @@ def solve_batch_fused(
     iters_done = 0
     while iters_done < settings.max_iter:
         step = min(int(chunk), int(settings.max_iter) - iters_done)
-        st = fused_chunk(data_t, scal_t, st, step, settings, interpret)
+        st = fused_chunk(data_t, scal_t, st, step, settings, interpret,
+                         qa_panel)
         iters_done += step
         if iters_done < settings.max_iter:
             if bool(jnp.all(st.sc[_DONE] > 0.5)):

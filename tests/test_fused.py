@@ -57,6 +57,42 @@ def test_fused_matches_general_solver(scaling):
                   np.asarray(x)[i][:16], np.asarray(y)[i][:24], tol=2e-3)
 
 
+@pytest.mark.parametrize("scaling", [2, 0])
+def test_fused_streaming_matches_vmem(scaling):
+    """The HBM-streaming kernel (qa_panel > 0: Q/A DMA'd in double-buffered
+    row panels) must track the all-VMEM kernel exactly — same statuses and
+    iteration counts, solutions to f32 rounding (the Newton assembly sums
+    A'WA before Q instead of after, so bitwise equality is not expected)."""
+    probs = _probs(61, 16, 24, LANES)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
+                 scaling=scaling, max_refine=0, delta=10.0)
+    data = stack_problems(probs, np.float32)
+    r0 = solve_batch_fused(data, s, interpret=True, qa_panel=0)
+    r1 = solve_batch_fused(data, s, interpret=True, qa_panel=8)
+    assert np.array_equal(np.asarray(r0[2]), np.asarray(r1[2]))
+    assert np.array_equal(np.asarray(r0[3]), np.asarray(r1[3]))
+    assert np.max(np.abs(np.asarray(r0[0]) - np.asarray(r1[0]))) < 1e-4
+    assert np.all(np.asarray(r1[2]) == C.QPALM_SOLVED)
+    ref = _general(data, s)
+    assert np.array_equal(np.asarray(r1[2]), np.asarray(ref.status))
+    assert np.max(np.abs(np.asarray(r1[0]) - np.asarray(ref.x))) < 1e-4
+
+
+def test_fused_streaming_dual_termination():
+    """Streaming path with dual-objective termination on: exercises the
+    panel-streamed Q copy into M_s (set_Ms_from_Q) on outer trips."""
+    probs = _probs(91, 16, 24, LANES)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
+                 scaling=2, max_refine=0, delta=10.0,
+                 enable_dual_termination=True, dual_objective_limit=-1e9)
+    data = stack_problems(probs, np.float32)
+    r0 = solve_batch_fused(data, s, interpret=True, qa_panel=0)
+    r1 = solve_batch_fused(data, s, interpret=True, qa_panel=8)
+    assert np.array_equal(np.asarray(r0[2]), np.asarray(r1[2]))
+    assert np.array_equal(np.asarray(r0[3]), np.asarray(r1[3]))
+    assert np.max(np.abs(np.asarray(r0[0]) - np.asarray(r1[0]))) < 1e-4
+
+
 def test_fused_warm_start_matches_general():
     probs = _probs(70, 12, 18, LANES)
     s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=100,
