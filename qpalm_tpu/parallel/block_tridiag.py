@@ -17,9 +17,12 @@ blocks and E_k the subdiagonal coupling (block row k+1, column k).
 * `thomas_solve(D, E, b)` — sequential block Cholesky-Thomas via lax.scan;
   the single-device / per-chunk workhorse.
 * `spike_solve(D, E, b, mesh, axis)` — stages sharded over the mesh; each
-  device factors its chunk once, forms boundary spikes, all-gathers the
-  (2 * devices * nb) reduced interface system, solves it redundantly, and
-  back-substitutes locally.  One all_gather per solve rides the ICI.
+  device factors its chunk once, forms boundary spikes, reduces the
+  interface system by distributed odd-even cyclic reduction
+  (O(nb^3 log nd) compute, O(nb^2 log nd) ICI traffic per device via
+  log2(nd) ppermute rounds), and back-substitutes locally.  Non-power-of-
+  two meshes fall back to an all_gather + replicated QR of the
+  (2 * devices * nb) reduced system.
 """
 
 from __future__ import annotations
