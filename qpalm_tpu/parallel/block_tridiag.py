@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..precision import full_matmul_precision
+
 
 def _chol(M):
     return jnp.linalg.cholesky(M)
@@ -322,6 +324,7 @@ def spike_solve_local(D_loc, E_loc, b_loc, nd: int, axis_name: str):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+@full_matmul_precision
 def spike_solve(
     D: jnp.ndarray,
     E: jnp.ndarray,

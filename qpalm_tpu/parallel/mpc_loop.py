@@ -39,6 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import constants as C
 from ..constants import MIN_SCALING
+from ..precision import full_matmul_precision
 from ..solver.linesearch import linesearch_from_breakpoints
 from ..types import Settings
 from .block_tridiag import spike_solve_local
@@ -607,6 +608,7 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
 @functools.partial(
     jax.jit, static_argnames=("settings", "mesh", "axis", "has_ws")
 )
+@full_matmul_precision
 def _solve_impl(
     data: MPCStageData,
     z_ws,

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..precision import full_matmul_precision
 from ..solver.core import full_solve
 from ..types import QPData, Settings
 
@@ -61,6 +62,7 @@ def sharded_schur_matrix(
 @functools.partial(
     jax.jit, static_argnames=("settings", "mesh", "axis_name")
 )
+@full_matmul_precision
 def _solve_sharded_jit(
     data: QPData, settings: Settings, mesh: Mesh, axis_name: str
 ):

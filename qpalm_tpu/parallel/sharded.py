@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import constants as C
 from ..batch import BatchResult, _DATA_AXES, _solve_one
+from ..precision import full_matmul_precision
 from ..types import QPData, Settings
 
 
@@ -64,6 +65,7 @@ def pad_batch_to_devices(data: QPData, n_devices: int):
     jax.jit,
     static_argnames=("settings", "has_ws", "has_gamma", "mesh", "axis_name"),
 )
+@full_matmul_precision
 def solve_batch_sharded(
     data: QPData,
     x_ws: jnp.ndarray,

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
+from .precision import full_matmul_precision
 from .types import QPData
 
 
@@ -192,6 +193,7 @@ def _polish_one(data: QPData, x0, y0, eps_abs, eps_rel, act_tol, rounds,
     static_argnames=("eps_abs", "eps_rel", "act_tol", "rounds",
                      "refine_steps"),
 )
+@full_matmul_precision
 def polish_batch(
     data: QPData,
     x: jnp.ndarray,

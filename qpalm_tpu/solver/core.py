@@ -27,6 +27,7 @@ from ..linalg.dense import (
     vec_mid,
 )
 from ..linalg.pallas_chol import cholesky_batched, cholesky_solve_batched
+from ..precision import full_matmul_precision
 from ..scaling import identity_scaling, scale_data
 from ..types import QPData, ScalingInfo, Settings, SolverState
 from .linesearch import exact_linesearch
@@ -36,6 +37,7 @@ from .linesearch import exact_linesearch
 # state construction / warm start
 # ---------------------------------------------------------------------------
 
+@full_matmul_precision
 def init_state(
     data: QPData,
     scal: ScalingInfo,
@@ -288,6 +290,7 @@ def _boost_gamma_values(st: SolverState, data: QPData, settings: Settings, activ
     return jnp.where(nb_active > 0, boosted, jnp.asarray(1e12, dtype))
 
 
+@full_matmul_precision
 def compute_objective(st: SolverState, data: QPData, scal: ScalingInfo,
                       settings: Settings):
     """reference: src/iteration.c:231-270."""
@@ -820,6 +823,7 @@ def make_iteration(data: QPData, scal: ScalingInfo, settings: Settings, LQ=None)
     return iteration
 
 
+@full_matmul_precision
 def solve_from_state(
     st: SolverState,
     data: QPData,
@@ -868,6 +872,7 @@ def solve_from_state(
     )
 
 
+@full_matmul_precision
 def full_solve(
     dataj: QPData,
     x_ws: jnp.ndarray,

@@ -72,11 +72,16 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
         if n_pad % P or m_pad % P:
             continue
         vmem = (
-            n_pad * n_pad            # M_s (Schur factor scratch)
+            2 * n_pad * n_pad        # M_s scratch + Mosaic's stack temp for
+                                     # the Schur accumulation (measured: the
+                                     # compiler allocates one full (n,n,L)
+                                     # temporary beyond the planned buffers)
             + 2 * P * n_pad          # double-buffered Q/A panel
             + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
         ) * LANES * 4
-        if vmem <= 13 * 2**20:
+        # streaming kernels compile with vmem_limit_bytes=48 MB (below the
+        # v5e 128 MB physical VMEM); keep an 8 MB headroom under that
+        if vmem <= 40 * 2**20:
             return P
     return -1
 
@@ -878,6 +883,15 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
                 pltpu.VMEM((2, qa_panel, n, LANES), jnp.float32),  # qa_buf
                 pltpu.SemaphoreType.DMA((2,)),
             ]
+        # Streaming shapes need the scoped-VMEM ceiling raised past the
+        # 16 MB default: besides the planned buffers, Mosaic stack-allocates
+        # one full (n, n, LANES) temporary for the Schur accumulation
+        # (measured 19.52 MB at n=128/m=192 against the 16 MB default —
+        # hardware Mosaic OOM, 2026-08-19 smoke run).  v5e VMEM is 128 MB;
+        # pick_qa_panel() budgets conservatively below this ceiling.
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ) if qa_panel else None
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
@@ -887,6 +901,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
                                   14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
                                   19: 11, 20: 12, 21: 13, 22: 14, 23: 15},
+            compiler_params=params,
             interpret=interpret,
         )(*args)
 

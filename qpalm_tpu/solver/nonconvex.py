@@ -14,6 +14,7 @@ from jax.scipy.linalg import solve_triangular
 
 from ..constants import LOBPCG_MAX_ITER, LOBPCG_TOL
 from ..linalg.dense import norm_inf, norm_two
+from ..precision import full_matmul_precision
 
 
 def _eigh_gen_min(B: jnp.ndarray, Cm: jnp.ndarray):
@@ -30,6 +31,7 @@ def _eigh_gen_min(B: jnp.ndarray, Cm: jnp.ndarray):
     return w[0], y
 
 
+@full_matmul_precision
 def lobpcg_min_eig(Q: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
     """Estimate the minimum eigenvalue of symmetric Q.
 
