@@ -79,9 +79,15 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
             + 2 * P * n_pad          # double-buffered Q/A panel
             + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
         ) * LANES * 4
-        # streaming kernels compile with vmem_limit_bytes=48 MB (below the
-        # v5e 128 MB physical VMEM); keep an 8 MB headroom under that
-        if vmem <= 40 * 2**20:
+        # streaming kernels compile with an adaptive vmem_limit (plan
+        # + 25% headroom).  The admission cap is the HARDWARE-VALIDATED
+        # boundary, not the physical 128 MB: n_pad=192 (plan 44 MB) runs
+        # correctly on a v5e; n_pad=256 (plan ~70 MB, limit ~94 MB)
+        # Mosaic-compiles but the compiled kernel corrupts state (83/128
+        # NaN lanes within 6 iterations; interpret mode is clean, so the
+        # kernel logic is right — 2026-08-19 bisect).  Shapes past the
+        # cap fall back to the XLA loop.
+        if vmem <= 45 * 2**20:
             return P
     return -1
 
@@ -885,13 +891,23 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             ]
         # Streaming shapes need the scoped-VMEM ceiling raised past the
         # 16 MB default: besides the planned buffers, Mosaic stack-allocates
-        # one full (n, n, LANES) temporary for the Schur accumulation
+        # one full (n, n, LANES) temporary for the rank-1 accumulations
         # (measured 19.52 MB at n=128/m=192 against the 16 MB default —
-        # hardware Mosaic OOM, 2026-08-19 smoke run).  v5e VMEM is 128 MB;
-        # pick_qa_panel() budgets conservatively below this ceiling.
-        params = pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 2**20
-        ) if qa_panel else None
+        # hardware Mosaic OOM, 2026-08-19 smoke run).  The limit is sized
+        # from the plan (2 n^2 for M_s + the stack temp, panels, vectors)
+        # with 25% headroom, capped at 100 MB under the v5e's 128 MB
+        # physical VMEM; pick_qa_panel() enforces the same ceiling.
+        if qa_panel:
+            need = (
+                2 * n * n + 2 * qa_panel * n
+                + 12 * n + 13 * m + 2 * _SC_ROWS
+            ) * LANES * 4
+            params = pltpu.CompilerParams(
+                vmem_limit_bytes=min(int(need * 1.25) + 2 * 2**20,
+                                     100 * 2**20)
+            )
+        else:
+            params = None
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
