@@ -230,6 +230,25 @@ def polish_batch(
 # ---------------------------------------------------------------------------
 
 
+def _np_solve_or_nan(K, rhs):
+    """Batched np.linalg.solve that NaN-fills exactly-singular lanes
+    instead of raising: a singular polish KKT (wrong f32 active set on a
+    degenerate problem) must mark the lane failed — the KKT `check`
+    gates every result and the finisher picks the lane up — not crash
+    the whole batch (observed: LinAlgError in the workloads sweep's
+    randomQP n=20 B=2048 run)."""
+    try:
+        return np.linalg.solve(K, rhs)
+    except np.linalg.LinAlgError:
+        out = np.full(rhs.shape, np.nan, rhs.dtype)
+        for i in range(K.shape[0]):
+            try:
+                out[i] = np.linalg.solve(K[i], rhs[i])
+            except np.linalg.LinAlgError:
+                pass
+        return out
+
+
 def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                      eps_abs, eps_rel, act_tol, rounds, refine_steps,
                      compress=True):
@@ -310,7 +329,7 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                     # lanes' K in place — rebuild just those and LU-solve
                     # them; healthy lanes keep their BK factors
                     K_bad = build_K()[bad]
-                    sol_n[bad] = np.linalg.solve(
+                    sol_n[bad] = _np_solve_or_nan(
                         K_bad, rhs[bad, :, None])[:, :, 0]
                 sol = sol_n
 
@@ -322,7 +341,7 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                         # check still gates the result
                         return np.zeros_like(rc)
                     if len(bad):
-                        rc[bad] = np.linalg.solve(
+                        rc[bad] = _np_solve_or_nan(
                             K_bad, r[bad, :, None])[:, :, 0]
                     return rc
             else:
@@ -330,10 +349,10 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                 # (destroyed in place) and take the LU path for the chunk
                 K = build_K()
         if sol is None:
-            sol = np.linalg.solve(K, rhs[:, :, None])[:, :, 0]
+            sol = _np_solve_or_nan(K, rhs[:, :, None])[:, :, 0]
 
             def resolve(r):
-                return np.linalg.solve(K, r[:, :, None])[:, :, 0]
+                return _np_solve_or_nan(K, r[:, :, None])[:, :, 0]
         for _ in range(refine_steps):
             sx, sn = sol[:, :n], sol[:, n:]
             top = (np.einsum("bij,bj->bi", Q, sx)

@@ -56,6 +56,18 @@ _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _STATUS, _GAMMA_MAX, _EPSK_ABS, _EPSK_REL, _COBJ, _SC_ROWS = range(19)
 
 
+def _row_chunk(n: int) -> int:
+    """Static row-chunk height for the streaming kernel's full-matrix
+    updates: the largest multiple of 8 dividing n with at least ~6 chunks,
+    so Mosaic's per-statement stack temporary is (RCH, n, LANES) instead
+    of (n, n, LANES)."""
+    rch = 8
+    for r in range(8, max(n // 6, 8) + 1, 8):
+        if n % r == 0:
+            rch = r
+    return rch
+
+
 def pick_qa_panel(n_pad: int, m_pad: int) -> int:
     """Fused-kernel memory plan for a padded (n, m) shape.
 
@@ -72,22 +84,25 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
         if n_pad % P or m_pad % P:
             continue
         vmem = (
-            2 * n_pad * n_pad        # M_s scratch + Mosaic's stack temp for
-                                     # the Schur accumulation (measured: the
-                                     # compiler allocates one full (n,n,L)
-                                     # temporary beyond the planned buffers)
+            n_pad * n_pad            # M_s (Schur factor scratch)
+            + _row_chunk(n_pad) * n_pad  # Mosaic stack temp: the rank-1
+                                     # updates are row-chunked in
+                                     # streaming mode, bounding every
+                                     # full-matrix temporary to
+                                     # (RCH, n, LANES)
             + 2 * P * n_pad          # double-buffered Q/A panel
             + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
         ) * LANES * 4
         # streaming kernels compile with an adaptive vmem_limit (plan
         # + 25% headroom).  The admission cap is the HARDWARE-VALIDATED
-        # boundary, not the physical 128 MB: n_pad=192 (plan 44 MB) runs
-        # correctly on a v5e; n_pad=256 (plan ~70 MB, limit ~94 MB)
-        # Mosaic-compiles but the compiled kernel corrupts state (83/128
-        # NaN lanes within 6 iterations; interpret mode is clean, so the
-        # kernel logic is right — 2026-08-19 bisect).  Shapes past the
-        # cap fall back to the XLA loop.
-        if vmem <= 45 * 2**20:
+        # boundary, not the physical 128 MB: n_pad=224 (plan ~37 MB)
+        # runs correctly on a v5e with exact fused/XLA status parity,
+        # while n_pad=256 Mosaic-compiles — with either the chunked or
+        # the unchunked updates, at limits 54-94 MB — but the compiled
+        # kernel corrupts state (83/128 NaN lanes; interpret mode is
+        # clean, so the kernel logic is right — 2026-08-19 bisects).
+        # Shapes past the cap fall back to the XLA loop.
+        if vmem <= 38 * 2**20:
             return P
     return -1
 
@@ -250,6 +265,18 @@ def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
             def set_Ms_from_Q():
                 M_s[:] = Q_ref[:]
 
+        # Row-chunked full-matrix updates (streaming mode only): a whole-
+        # matrix expression like `M_s[:] -= rt[:,None,:]*rt[None,:,:]`
+        # makes Mosaic stack-allocate an (n, n, LANES) temporary — at
+        # n_pad >= 256 that temporary alone is 32 MB and the compiled
+        # kernel corrupts state near the VMEM ceiling (2026-08-19 bisect).
+        # Chunking the i-axis into static RCH-row blocks bounds every
+        # temporary to (RCH, n, LANES); the all-VMEM tier (n_pad <= ~80)
+        # keeps the unchunked single-statement form.
+        if P:
+            RCH = _row_chunk(n)
+            NCH = n // RCH
+
         def chol_solve_Ms_ds():
             """Factor M_s in place (upper R, R'R = M, lane-vectorized) and
             solve M_s x = d_s in place."""
@@ -259,7 +286,16 @@ def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
                 inv = jax.lax.rsqrt(akk)
                 row = row * inv
                 rt = jnp.where(iota_n > k, row, 0.0)
-                M_s[:] = M_s[:] - rt[:, None, :] * rt[None, :, :]
+                if P:
+                    for c in range(NCH):
+                        seg = jax.lax.slice(
+                            rt, (c * RCH, 0), (c * RCH + RCH, LANES))
+                        M_s[pl.ds(c * RCH, RCH), :, :] = (
+                            M_s[pl.ds(c * RCH, RCH), :, :]
+                            - seg[:, None, :] * rt[None, :, :]
+                        )
+                else:
+                    M_s[:] = M_s[:] - rt[:, None, :] * rt[None, :, :]
                 M_s[pl.ds(k, 1), :, :] = jnp.where(iota_n >= k, row, 0.0)[
                     None
                 ]
@@ -307,13 +343,24 @@ def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
                     wrows = w_s[pl.ds(k * P, P), :]          # (P, LANES)
                     for p in range(P):
                         arow = panel[p]                      # (n, LANES)
-                        wrow = wrows[p:p + 1]                # (1, LANES)
-                        M_s[:] = M_s[:] + (wrow * arow)[:, None, :] \
-                            * arow[None, :, :]
+                        wa = wrows[p:p + 1] * arow           # (n, LANES)
+                        for c in range(NCH):
+                            seg = jax.lax.slice(
+                                wa, (c * RCH, 0), (c * RCH + RCH, LANES))
+                            M_s[pl.ds(c * RCH, RCH), :, :] = (
+                                M_s[pl.ds(c * RCH, RCH), :, :]
+                                + seg[:, None, :] * arow[None, :, :]
+                            )
 
                 sweep(A_ref, m, asm)
-                gersh = jnp.max(jnp.sum(jnp.abs(M_s[:]), axis=1), axis=0,
-                                keepdims=True)               # (1, LANES)
+                gersh = jnp.zeros((1, LANES), jnp.float32)
+                for c in range(NCH):
+                    blk = M_s[pl.ds(c * RCH, RCH), :, :]     # (RCH,n,LANES)
+                    gersh = jnp.maximum(
+                        gersh,
+                        jnp.max(jnp.sum(jnp.abs(blk), axis=1), axis=0,
+                                keepdims=True),
+                    )                                        # (1, LANES)
 
                 def addq(k, panel):
                     M_s[pl.ds(k * P, P), :, :] = (
@@ -338,7 +385,19 @@ def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
                 G = M_s[:] - Q_ref[:]
                 gersh = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0,
                                 keepdims=True)               # (1, LANES)
-            if proximal:
+            if proximal and P:
+                for c in range(NCH):
+                    eyef = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (RCH, n, 1), 0) + c * RCH
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (RCH, n, 1), 1)
+                    ).astype(jnp.float32)
+                    M_s[pl.ds(c * RCH, RCH), :, :] = (
+                        M_s[pl.ds(c * RCH, RCH), :, :]
+                        + eyef * gamma_inv[None, :, :]
+                    )
+            elif proximal:
                 # 3-D iota from the start: Mosaic cannot reshape i1
                 # vectors to add a minor dim, so the mask is built f32
                 eyef = (
@@ -899,7 +958,7 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         # physical VMEM; pick_qa_panel() enforces the same ceiling.
         if qa_panel:
             need = (
-                2 * n * n + 2 * qa_panel * n
+                n * n + _row_chunk(n) * n + 2 * qa_panel * n
                 + 12 * n + 13 * m + 2 * _SC_ROWS
             ) * LANES * 4
             params = pltpu.CompilerParams(

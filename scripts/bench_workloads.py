@@ -72,19 +72,24 @@ def main():
             return 256
         return 128
 
-    configs = (
-        [("randomQP", f"n={n}", [random_qp(n, n, seed=10 * n + i)
-                                 for i in range(bsize(n))])
-         # 20..100 is the reference randomQP.m sweep; 128/160 ride the
-         # HBM-streaming fused kernel, 256 the XLA loop
-         for n in (20, 40, 60, 80, 100, 128, 160, 256)]
-        + [("lasso", f"n={n}", [lasso(n, seed=3 * n + i)
-                                for i in range(bsize(n))])
-           for n in (20, 50)]
-        + [("portfolio", f"n={n}", [portfolio(n, seed=7 * n + i)
-                                    for i in range(bsize(n))])
-           for n in (60, 120)]
+    # 20..100 is the reference randomQP.m sweep; 128..224 ride the
+    # HBM-streaming fused kernel, 256 the XLA loop (past the validated
+    # streaming wall).  The batch size keys on the ACTUAL variable count
+    # (lasso(20) builds an n=80 QP).
+    families = (
+        ("randomQP", lambda n, i: random_qp(n, n, seed=10 * n + i),
+         (20, 40, 60, 80, 100, 128, 160, 224, 256)),
+        ("lasso", lambda n, i: lasso(n, seed=3 * n + i), (20, 50)),
+        ("portfolio", lambda n, i: portfolio(n, seed=7 * n + i),
+         (60, 120)),
     )
+    configs = []
+    for family, gen, sizes in families:
+        for n in sizes:
+            probe = gen(n, 0)
+            nb = bsize(probe[0].shape[0])
+            configs.append(
+                (family, f"n={n}", [gen(n, i) for i in range(nb)]))
 
     rows = []
     for family, size, probs in configs:

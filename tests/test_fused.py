@@ -352,24 +352,30 @@ def test_fused_routing_eligibility():
 def test_pick_qa_panel_plan_tiers():
     """The kernel memory plan: small shapes all-VMEM (0), mid shapes
     HBM-streamed (P>0), shapes past the hardware-validated boundary
-    rejected (-1).  Budget model: 2*n^2 lanes-last f32 (M_s scratch +
-    Mosaic's stack temporary for the rank-1 accumulations) +
-    double-buffered panels + vector state.  The admission cap (45 MB
-    plan) is the v5e-validated wall: n_pad=192 runs correctly on
-    hardware, n_pad=256 Mosaic-compiles but corrupts state (see
-    pick_qa_panel's docstring/comments and benchmarks/SMOKE_TPU_r03.txt,
+    rejected (-1).  Budget model: n^2 (M_s) + RCH*n (the row-chunked
+    rank-1 updates bound Mosaic's stack temporary) + double-buffered
+    panels + vector state.  The admission cap (38 MB plan) is the
+    v5e-validated wall: n_pad=224 runs on hardware with exact fused/XLA
+    status parity, n_pad=256 Mosaic-compiles but corrupts state (see
+    pick_qa_panel's comments, benchmarks/SMOKE_TPU_r03.txt and
     scripts/probe_n256.py)."""
-    from qpalm_tpu.solver.fused import LANES, pick_qa_panel
+    from qpalm_tpu.solver.fused import LANES, _row_chunk, pick_qa_panel
 
     assert pick_qa_panel(64, 96) == 0          # bench shape: all-VMEM
     assert pick_qa_panel(80, 120) == 0
     P = pick_qa_panel(128, 192)                # smoke-validated streaming
     assert P > 0 and 128 % P == 0
-    assert pick_qa_panel(192, 288) > 0         # validated streaming wall
+    assert pick_qa_panel(192, 288) > 0         # validated streaming sizes
+    assert pick_qa_panel(224, 336) > 0
     assert pick_qa_panel(256, 384) == -1       # past the validated wall
     assert pick_qa_panel(512, 768) == -1
-    # admitted plans must stay under the validated 45 MB cap
-    for n, m in ((128, 192), (192, 288)):
+    # admitted plans must stay under the validated 38 MB cap
+    for n, m in ((128, 192), (224, 336)):
         p = pick_qa_panel(n, m)
-        need = (2 * n * n + 2 * p * n + 12 * n + 13 * m + 38) * LANES * 4
-        assert need <= 45 * 2**20
+        need = (n * n + _row_chunk(n) * n + 2 * p * n
+                + 12 * n + 13 * m + 38) * LANES * 4
+        assert need <= 38 * 2**20
+    # row chunks divide n and stay sublane-aligned
+    for n in (104, 128, 160, 192, 224):
+        r = _row_chunk(n)
+        assert r % 8 == 0 and n % r == 0 and n // r >= 4
