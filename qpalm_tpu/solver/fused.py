@@ -1132,11 +1132,22 @@ def _finish(data_t, scal, st: FusedState):
     )
 
 
+# Hard cap on 128-lane blocks (grid-less pallas_calls) per jitted
+# program.  More aliased custom-calls than this in ONE executable
+# mis-route their buffers on this TPU runtime: measured 2026-08-19,
+# 4- and 8-call programs are exact, a 16-call program returns garbage
+# for every block past the second (statuses read like iteration counts,
+# NaN solutions) at every shape tried.  Larger batches are split on the
+# host — one extra dispatch per 1024 lanes, microseconds against the
+# solve time.
+MAX_LANES_PER_CALL = 8 * LANES
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "has_x", "has_y", "interpret", "qa_panel"),
 )
-def fused_solve_jit(
+def _fused_solve_core(
     data: QPData,
     x_ws,
     y_ws,
@@ -1149,15 +1160,52 @@ def fused_solve_jit(
     qa_panel: int = -2,
 ):
     """The whole fused solve (scale + init + max_iter kernel iterations +
-    unscale) as ONE jitted program — the form the benchmark dispatches.
-    Pass zero arrays for x_ws/y_ws when has_x/has_y are False; the traced
-    per-lane `gamma_init`/`gamma_max` (or None) carry nonconvex pins."""
+    unscale) as ONE jitted program.  B must be <= MAX_LANES_PER_CALL."""
     data_t, scal_t, scal, st = _prepare(
         data, settings, x_ws, y_ws, has_x, has_y, gamma_init, gamma_max
     )
     st = fused_chunk(data_t, scal_t, st, int(settings.max_iter), settings,
                      interpret, qa_panel)
     return _finish(data_t, scal, st)
+
+
+def fused_solve_jit(
+    data: QPData,
+    x_ws,
+    y_ws,
+    settings: Settings,
+    has_x: bool = False,
+    has_y: bool = False,
+    interpret: bool = False,
+    gamma_init=None,
+    gamma_max=None,
+    qa_panel: int = -2,
+):
+    """Host-splitting front for `_fused_solve_core`: batches above
+    MAX_LANES_PER_CALL are solved in <=1024-lane groups (see the cap's
+    comment) and concatenated.  Pass zero arrays for x_ws/y_ws when
+    has_x/has_y are False; the per-lane `gamma_init`/`gamma_max` (or
+    None) carry nonconvex pins."""
+    B = data.q.shape[0]
+    if B <= MAX_LANES_PER_CALL:
+        return _fused_solve_core(
+            data, x_ws, y_ws, settings, has_x, has_y, interpret,
+            gamma_init, gamma_max, qa_panel,
+        )
+    outs = []
+    for s0 in range(0, B, MAX_LANES_PER_CALL):
+        sl = slice(s0, s0 + MAX_LANES_PER_CALL)
+        outs.append(_fused_solve_core(
+            jax.tree.map(lambda a: a[sl], data),
+            x_ws[sl], y_ws[sl], settings, has_x, has_y, interpret,
+            None if gamma_init is None else gamma_init[sl],
+            None if gamma_max is None else gamma_max[sl],
+            qa_panel,
+        ))
+    return tuple(
+        jnp.concatenate([o[k] for o in outs], axis=0)
+        for k in range(len(outs[0]))
+    )
 
 
 def solve_batch_fused(
@@ -1189,6 +1237,26 @@ def solve_batch_fused(
     m = data.bmin.shape[1]
     if settings.nonconvex:
         settings = settings.replace(proximal=True)
+    if chunk != 0 and B > MAX_LANES_PER_CALL:
+        # the host-chunked iteration mode calls fused_chunk directly, so
+        # it needs the same <=8-blocks-per-program split (see
+        # MAX_LANES_PER_CALL) applied out here
+        outs = []
+        for s0 in range(0, B, MAX_LANES_PER_CALL):
+            sl = slice(s0, s0 + MAX_LANES_PER_CALL)
+            outs.append(solve_batch_fused(
+                jax.tree.map(lambda a: a[sl], data), settings,
+                None if x_ws is None else x_ws[sl],
+                None if y_ws is None else y_ws[sl],
+                chunk, interpret,
+                None if gamma_init is None else gamma_init[sl],
+                None if gamma_max is None else gamma_max[sl],
+                qa_panel,
+            ))
+        return tuple(
+            jnp.concatenate([o[k] for o in outs], axis=0)
+            for k in range(len(outs[0]))
+        )
     if chunk == 0:
         zx = x_ws if x_ws is not None else jnp.zeros((B, n), jnp.float32)
         zy = y_ws if y_ws is not None else jnp.zeros((B, m), jnp.float32)
