@@ -118,6 +118,16 @@ def palm_finish_np(
 
     x = np.array(x_ws, np.float64)
     y = np.array(y_ws, np.float64)
+    # A non-finite warm start poisons the whole lane (the proximal center,
+    # sigma heuristic and residuals all inherit the NaN and no number of
+    # iterations recovers), while a cold start solves the same instances
+    # in milliseconds — measured on the f32-NaN lasso lanes the fused pass
+    # hands over.  Zero both vectors of any lane carrying a non-finite
+    # entry: cold-starting that lane IS the correct warm start.
+    lane_bad = ~(np.isfinite(x).all(axis=1) & np.isfinite(y).all(axis=1))
+    if lane_bad.any():
+        x[lane_bad] = 0.0
+        y[lane_bad] = 0.0
     Qx = np.einsum("bij,bj->bi", Q, x)  # pure Qx (no proximal term)
     Ax = np.einsum("bmn,bn->bm", A, x)
     x0 = x.copy()

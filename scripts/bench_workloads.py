@@ -66,7 +66,7 @@ def main():
             return 2048
         if n <= 40:
             return 1024
-        if n <= 64:
+        if n <= 80:
             return 512
         if n <= 100:
             return 256

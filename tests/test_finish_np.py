@@ -88,3 +88,30 @@ def test_unsolved_lane_reports_max_iter():
                        max_iter=2)
     assert r.status[0] == C.QPALM_MAX_ITER_REACHED
     assert r.iterations[0] == 2
+
+
+def test_finisher_sanitizes_nonfinite_warm_start():
+    """A lane whose f32 pass NaN'd (ill-conditioned lasso at f32 — the
+    pipeline's designed failure mode) must be cold-started by the
+    finisher, not poisoned: with the NaN warm start zeroed per-lane the
+    finisher solves it, and healthy lanes keep their warm starts."""
+    import jax
+    import numpy as np
+
+    from qpalm_tpu.batch import stack_problems
+    from qpalm_tpu.finish_np import palm_finish_np
+    from qpalm_tpu.polish import polish_batch_np
+    from qpalm_tpu.workloads import lasso
+
+    probs = [lasso(20, seed=60 + i) for i in (21, 165, 0)]
+    d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
+    B, npad = d64.q.shape
+    mpad = d64.bmin.shape[1]
+    x0 = np.zeros((B, npad))
+    y0 = np.zeros((B, mpad))
+    x0[0] = np.nan          # poisoned lane
+    y0[1, 3] = np.inf       # poisoned lane (single entry suffices)
+    fin = palm_finish_np(d64, x0, y0, eps_abs=1e-6, eps_rel=1e-6)
+    pol = polish_batch_np(d64, fin.x, fin.y, eps_abs=1e-6, eps_rel=1e-6,
+                          rounds=1, refine_steps=0)
+    assert np.asarray(pol.ok).all(), np.asarray(pol.ok)

@@ -379,3 +379,28 @@ def test_pick_qa_panel_plan_tiers():
     for n in (104, 128, 160, 192, 224):
         r = _row_chunk(n)
         assert r % 8 == 0 and n % r == 0 and n // r >= 4
+
+
+def test_fused_batch_split_matches_unsplit(monkeypatch):
+    """Batches above MAX_LANES_PER_CALL are host-split into groups (the
+    TPU runtime mis-routes the aliased buffers of programs containing
+    more than 8 grid-less pallas_calls — fused.py MAX_LANES_PER_CALL).
+    The split must be invisible: same statuses/iterations/x as one
+    unsplit call, and per-lane gamma pins must follow their lanes."""
+    import qpalm_tpu.solver.fused as F
+
+    probs = _probs(17, 10, 14, 2 * LANES)
+    s = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4, max_iter=60,
+                 scaling=2, max_refine=0, delta=10.0)
+    data = stack_problems(probs, np.float32)
+    B = data.q.shape[0]
+    gi = np.full((B,), s.gamma_init, np.float32)
+    gi[LANES:] *= 2.0  # distinct pins in the second group
+    whole = solve_batch_fused(data, s, interpret=True,
+                              gamma_init=jnp.asarray(gi))
+    monkeypatch.setattr(F, "MAX_LANES_PER_CALL", LANES)
+    split = solve_batch_fused(data, s, interpret=True,
+                              gamma_init=jnp.asarray(gi))
+    assert np.array_equal(np.asarray(whole[2]), np.asarray(split[2]))
+    assert np.array_equal(np.asarray(whole[3]), np.asarray(split[3]))
+    assert np.array_equal(np.asarray(whole[0]), np.asarray(split[0]))
