@@ -94,27 +94,40 @@ def main():
     rows = []
     for family, size, probs in configs:
         B = len(probs)
-        data32 = stack_problems(probs, np.float32)
+
+        # the axon stack memoizes bit-identical device inputs and ambient
+        # tunnel RPC latency swings run-to-run, so: warm/compile on the
+        # problem set itself, then time REPS distinct perturbed sets
+        # (q-scaled by 1+k*1e-6 — same active sets, different bits) and
+        # report the MEDIAN; certification is on the last timed set
+        def stacks(k):
+            pp = [(Q, A, np.asarray(q) * (1.0 + 1e-6 * k), lo, hi)
+                  for (Q, A, q, lo, hi) in probs]
+            d32 = stack_problems(pp, np.float32)
+            with jax.default_device(cpu):
+                d64 = jax.tree.map(np.asarray,
+                                   stack_problems(pp, np.float64))
+            return d32, d64
+
+        data32, d64 = stacks(0)
         Bp, n_pad = data32.q.shape
         m_pad = data32.bmin.shape[1]
         zx = jnp.zeros((Bp, n_pad), jnp.float32)
         zy = jnp.zeros((Bp, m_pad), jnp.float32)
         gam = jnp.full((Bp,), s32.gamma_init, jnp.float32)
-        with jax.default_device(cpu):
-            d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
 
         use_fused = _fused_eligible(s32, Bp, n_pad, m_pad)
 
-        def run_pipeline():
+        def run_pipeline(d32, d64):
             # eligible shapes ride the fused Pallas kernel (the headline
             # path); the rest use the general vmapped XLA loop
             if use_fused:
                 from qpalm_tpu.solver.fused import fused_solve_jit
 
-                r = fused_solve_jit(data32, zx, zy, s32)
+                r = fused_solve_jit(d32, zx, zy, s32)
                 x32, y32 = jax.device_get((r[0], r[1]))
             else:
-                res = solve_batch_jit(data32, zx, zy, gam, s32, False,
+                res = solve_batch_jit(d32, zx, zy, gam, s32, False,
                                       False)
                 x32, y32 = jax.device_get((res.x, res.y))
             pol = polish_batch_np(d64, x32, y32, eps_abs=EPS, eps_rel=EPS,
@@ -132,10 +145,15 @@ def main():
                 ok[bad] = np.asarray(pol2.ok)
             return ok
 
-        ok = run_pipeline()  # compile (untimed)
-        t0 = time.perf_counter()
-        ok = run_pipeline()
-        dt = time.perf_counter() - t0
+        run_pipeline(data32, d64)  # compile + warm (untimed)
+        times = []
+        for k in (1, 2, 3):
+            d32k, d64k = stacks(k)
+            t0 = time.perf_counter()
+            ok = run_pipeline(d32k, d64k)
+            times.append(time.perf_counter() - t0)
+        import statistics
+        dt = statistics.median(times)
         ours = B / dt
 
         # baseline on a sample of the same instances
@@ -151,6 +169,7 @@ def main():
             "path": "fused" if use_fused else "xla-loop",
             "certified": int(ok.sum()),
             "solves_per_s": round(ours, 1),
+            "rep_s": [round(t, 4) for t in times],
             "baseline_solves_per_s": round(base, 1),
             "baseline_solved": int(nb),
             "speedup": round(ours / base, 2),
@@ -173,8 +192,10 @@ def main():
         "rest use the general vmapped XLA loop.  Batch size is",
         "size-adaptive (small problems are dispatch-latency bound, so",
         "they run big batches — the framework's native operating point).",
-        "Single timed batch per config; the pipelined headline bench",
-        "is bench.py.",
+        "Timing: median of 3 distinct perturbed problem sets per config",
+        "(the tunnel's ambient RPC latency and the host's CPU both",
+        "jitter; the C baseline is likewise re-measured per run).  The",
+        "pipelined headline bench is bench.py.",
         "",
         "| family | size | batch | path | certified | solves/s | "
         "baseline solves/s | speedup |",
