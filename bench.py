@@ -56,12 +56,12 @@ os.environ.setdefault("QPALM_TPU_PALLAS", "0")
 
 import numpy as np  # noqa: E402
 
-K_ROUNDS = 6
+K_ROUNDS = int(os.environ.get("QPALM_BENCH_K", "6"))
 REPS = 3  # timed pipeline repetitions (distinct problems each; the axon
 # stack memoizes bit-identical inputs).  The reported number is the MEDIAN
 # rep; all reps are disclosed in detail.pipeline_s_reps; all wall-clock is
 # charged within a rep.
-B = 512
+B = int(os.environ.get("QPALM_BENCH_B", "512"))
 N_DIM = 64
 M_DIM = 96
 EPS_F32 = 1e-4  # the f32 pass only seeds the f64 polish: 1e-4 keeps the
