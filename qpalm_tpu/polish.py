@@ -240,12 +240,28 @@ def _np_solve_or_nan(K, rhs):
     try:
         return np.linalg.solve(K, rhs)
     except np.linalg.LinAlgError:
+        # One singular lane poisons the whole stacked gesv call.  Find the
+        # singular lanes cheaply (LU condition estimate per lane — one
+        # batched getrf-equivalent, not B sequential solves), NaN-fill
+        # only those, and solve the healthy lanes in one batched call.
         out = np.full(rhs.shape, np.nan, rhs.dtype)
-        for i in range(K.shape[0]):
+        with np.errstate(all="ignore"):
+            # rcond via SVD is overkill; a determinant-free singularity
+            # probe: lanes whose condition number is effectively infinite.
+            cond = np.linalg.cond(K)
+        good = np.isfinite(cond) & (cond < 1.0 / np.finfo(K.dtype).eps)
+        if good.any():
             try:
-                out[i] = np.linalg.solve(K[i], rhs[i])
+                out[good] = np.linalg.solve(K[good], rhs[good])
             except np.linalg.LinAlgError:
-                pass
+                # cond missed a numerically singular lane; last resort is
+                # the per-lane sweep over the (rare) surviving subset.
+                idx = np.flatnonzero(good)
+                for i in idx:
+                    try:
+                        out[i] = np.linalg.solve(K[i], rhs[i])
+                    except np.linalg.LinAlgError:
+                        pass
         return out
 
 

@@ -94,15 +94,19 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
             + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
         ) * LANES * 4
         # streaming kernels compile with an adaptive vmem_limit (plan
-        # + 25% headroom).  The admission cap is the HARDWARE-VALIDATED
-        # boundary, not the physical 128 MB: n_pad=224 (plan ~37 MB)
-        # runs correctly on a v5e with exact fused/XLA status parity,
-        # while n_pad=256 Mosaic-compiles — with either the chunked or
-        # the unchunked updates, at limits 54-94 MB — but the compiled
-        # kernel corrupts state (83/128 NaN lanes; interpret mode is
-        # clean, so the kernel logic is right — 2026-08-19 bisects).
-        # Shapes past the cap fall back to the XLA loop.
-        if vmem <= 38 * 2**20:
+        # + 25% headroom).  Admission is gated on BOTH the plan bytes and
+        # n_pad <= 224 — the HARDWARE-VALIDATED boundary, not the physical
+        # 128 MB: n_pad=224 (plan ~37 MB) runs correctly on a v5e with
+        # exact fused/XLA status parity, while n_pad=256 Mosaic-compiles —
+        # with either the chunked or the unchunked updates, at limits
+        # 54-94 MB — but the compiled kernel corrupts state (83/128 NaN
+        # lanes; interpret mode is clean, so the kernel logic is right —
+        # 2026-08-19 bisects).  The explicit n_pad cap closes the
+        # n_pad=232 hole (multiple of 8 only, plan ~34 MB): it passed the
+        # byte cap but was never hardware-validated, and the failure mode
+        # past the wall is silent corruption, not a crash.  Shapes past
+        # the cap fall back to the XLA loop.
+        if n_pad <= 224 and vmem <= 38 * 2**20:
             return P
     return -1
 
@@ -950,12 +954,15 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             ]
         # Streaming shapes need the scoped-VMEM ceiling raised past the
         # 16 MB default: besides the planned buffers, Mosaic stack-allocates
-        # one full (n, n, LANES) temporary for the rank-1 accumulations
-        # (measured 19.52 MB at n=128/m=192 against the 16 MB default —
-        # hardware Mosaic OOM, 2026-08-19 smoke run).  The limit is sized
-        # from the plan (2 n^2 for M_s + the stack temp, panels, vectors)
-        # with 25% headroom, capped at 100 MB under the v5e's 128 MB
-        # physical VMEM; pick_qa_panel() enforces the same ceiling.
+        # a (RCH, n, LANES) temporary per row-chunked rank-1 accumulation
+        # (the updates are chunked to _row_chunk(n) rows exactly so this
+        # temporary stays bounded; pre-chunking it was the full (n, n,
+        # LANES) — measured 19.52 MB at n=128/m=192 against the 16 MB
+        # default, a hardware Mosaic OOM, 2026-08-19 smoke run).  The limit
+        # is sized from the plan (n^2 for M_s + RCH*n for the stack temp
+        # + panels + vectors) with 25% headroom, capped at 100 MB under
+        # the v5e's 128 MB physical VMEM; pick_qa_panel() budgets the
+        # identical formula at admission time.
         if qa_panel:
             need = (
                 n * n + _row_chunk(n) * n + 2 * qa_panel * n

@@ -367,6 +367,9 @@ def test_pick_qa_panel_plan_tiers():
     assert P > 0 and 128 % P == 0
     assert pick_qa_panel(192, 288) > 0         # validated streaming sizes
     assert pick_qa_panel(224, 336) > 0
+    assert pick_qa_panel(232, 348) == -1       # plan fits (~34 MB) but the
+    # shape sits strictly between the validated 224 wall and the
+    # corrupting 256 — the explicit n_pad cap must reject it
     assert pick_qa_panel(256, 384) == -1       # past the validated wall
     assert pick_qa_panel(512, 768) == -1
     # admitted plans must stay under the validated 38 MB cap
