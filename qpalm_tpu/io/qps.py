@@ -98,22 +98,26 @@ class _Sections:
 
 
 def save_qps(path: str, Q, A, q, bmin, bmax, c: float = 0.0,
-             name: str = "QP") -> None:
+             name: str = "QP", lvar=None, uvar=None) -> None:
     """Write a QP as a new-format QPS file (round-trips through load_qps).
 
-    General two-sided rows become G rows with a RANGES entry; variables are
-    declared FR (the QP form here has no separate variable bounds — fold
-    them into A like the reference convention if needed).  No reference
-    equivalent (the reference only reads QPS); used by the test suite and
-    the benchmark harness to materialize synthetic problem sets.
+    General two-sided rows become G rows with a RANGES entry.  Variable
+    bounds: with `lvar`/`uvar` given, per-variable BOUNDS entries are
+    emitted (LO/UP/FX/FR/MI; the parser folds them back into identity rows
+    of A, the reference convention, qpalm_qps.c:145-148); without them
+    every variable is declared FR (fold bounds into A yourself if needed).
+    Q and A may be dense or scipy sparse — sparse inputs never densify, so
+    10^5-nonzero Maros-Meszaros-scale instances write in seconds.  No
+    reference equivalent (the reference only reads QPS); used by the test
+    suite and the benchmark harness to materialize synthetic problem sets.
     """
-    Q = np.asarray(Q if not hasattr(Q, "toarray") else Q.toarray(), float)
-    A = np.asarray(A if not hasattr(A, "toarray") else A.toarray(), float)
+    Qs = sp.csc_matrix(Q) if not sp.issparse(Q) else Q.tocsc()
+    As = sp.csc_matrix(A) if not sp.issparse(A) else A.tocsc()
     q = np.asarray(q, float).ravel()
     bmin = np.asarray(bmin, float).ravel()
     bmax = np.asarray(bmax, float).ravel()
-    n = Q.shape[0]
-    m = A.shape[0]
+    n = Qs.shape[0]
+    m = As.shape[0]
     lines = [f"NAME          {name}", "ROWS", " N  obj"]
     ranges = []
     for i in range(m):
@@ -127,13 +131,15 @@ def save_qps(path: str, Q, A, q, bmin, bmax, c: float = 0.0,
             if hi < QPS_INFTY:
                 ranges.append((i, hi - lo))
     lines.append("COLUMNS")
+    indptr, indices, data = As.indptr, As.indices, As.data
     for j in range(n):
         if q[j] != 0.0:
             lines.append(f"    x{j}  obj  {q[j]:.17g}")
-        nz = np.nonzero(A[:, j])[0]
-        for i in nz:
-            lines.append(f"    x{j}  r{i}  {A[i, j]:.17g}")
-        if q[j] == 0.0 and nz.size == 0:
+        lo, hi = indptr[j], indptr[j + 1]
+        for k in range(lo, hi):
+            if data[k] != 0.0:
+                lines.append(f"    x{j}  r{indices[k]}  {data[k]:.17g}")
+        if q[j] == 0.0 and lo == hi:
             lines.append(f"    x{j}  obj  0.0")
     lines.append("RHS")
     if c != 0.0:
@@ -155,14 +161,37 @@ def save_qps(path: str, Q, A, q, bmin, bmax, c: float = 0.0,
         for i, r in ranges:
             lines.append(f"    rng  r{i}  {r:.17g}")
     lines.append("BOUNDS")
-    for j in range(n):
-        lines.append(f" FR bnd  x{j}")
-    tril = np.tril_indices(n)
-    qvals = Q[tril]
-    if np.any(qvals != 0.0):
+    if lvar is None and uvar is None:
+        for j in range(n):
+            lines.append(f" FR bnd  x{j}")
+    else:
+        lv = (np.full(n, -np.inf) if lvar is None
+              else np.asarray(lvar, float).ravel())
+        uv = (np.full(n, np.inf) if uvar is None
+              else np.asarray(uvar, float).ravel())
+        for j in range(n):
+            lo, hi = lv[j], uv[j]
+            lo_inf, hi_inf = lo <= -QPS_INFTY, hi >= QPS_INFTY
+            if lo_inf and hi_inf:
+                lines.append(f" FR bnd  x{j}")
+            elif lo == hi:
+                lines.append(f" FX bnd  x{j}  {lo:.17g}")
+            elif lo_inf:
+                lines.append(f" MI bnd  x{j}")
+                lines.append(f" UP bnd  x{j}  {hi:.17g}")
+            else:
+                # MPS default for a mentioned-or-not column is [0, +inf):
+                # emit only what deviates
+                if lo != 0.0:
+                    lines.append(f" LO bnd  x{j}  {lo:.17g}")
+                if not hi_inf:
+                    lines.append(f" UP bnd  x{j}  {hi:.17g}")
+    Ql = sp.tril(Qs, format="coo")
+    if Ql.nnz:
         lines.append("QUADOBJ")
-        for (i, j), v in zip(zip(*tril), qvals):
+        for i, j, v in zip(Ql.row, Ql.col, Ql.data):
             if v != 0.0:
+                # QUADOBJ entry (col, row) of the lower triangle
                 lines.append(f"    x{j}  x{i}  {v:.17g}")
     lines.append("ENDATA")
     with open(path, "w") as f:

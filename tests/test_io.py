@@ -339,3 +339,48 @@ def test_hard_suite_parses_and_stress_problems_solve():
     p = probs["DINF0"]
     r = qpalm_tpu.solve(p.Q, p.A, p.q, p.bmin, p.bmax, settings=s)
     assert r.info.status == "dual infeasible"
+
+
+def test_save_qps_variable_bounds_roundtrip(tmp_path):
+    """save_qps with lvar/uvar emits LO/UP/FX/FR/MI BOUNDS entries; the
+    parsers fold them back into appended identity rows of A (the reference
+    convention, qpalm_qps.c:145-148).  Sparse inputs must not densify."""
+    import scipy.sparse as sp
+    from qpalm_tpu.io.qps import load_qps_python, save_qps
+
+    rng = np.random.default_rng(0)
+    n, m = 6, 3
+    Q = sp.random(n, n, density=0.4, random_state=rng, format="csc")
+    Q = (Q + Q.T + n * sp.eye(n)).tocsc()
+    A = sp.random(m, n, density=0.5, random_state=rng, format="csc")
+    A[0, 0] = 1.5  # ensure at least one entry
+    q = rng.standard_normal(n)
+    bmin = np.array([-1.0, -np.inf, 2.0])
+    bmax = np.array([1.0, 3.0, 2.0])
+    # one of each bound class: FR, FX, MI+UP, LO+UP, UP-only (lo=0), LO-only
+    lvar = np.array([-np.inf, 2.5, -np.inf, -1.0, 0.0, 0.5])
+    uvar = np.array([np.inf, 2.5, 4.0, 1.0, 2.0, np.inf])
+    path = str(tmp_path / "rt.qps")
+    save_qps(path, Q, A, q, bmin, bmax, c=0.25, name="RT", lvar=lvar,
+             uvar=uvar)
+    for prob in (load_qps_python(path), load_qps(path, native=True)):
+        nb = int(np.sum(~(np.isinf(lvar) & np.isinf(uvar))))  # non-FR vars
+        assert (prob.n, prob.m) == (n, m + nb)
+        np.testing.assert_allclose(prob.Q.toarray(), Q.toarray(),
+                                   atol=1e-14)
+        np.testing.assert_allclose(prob.A.toarray()[:m], A.toarray(),
+                                   atol=1e-14)
+        np.testing.assert_allclose(prob.q, q, atol=1e-14)
+        assert prob.c == 0.25
+        lo = np.clip(bmin, -1e20, 1e20)
+        np.testing.assert_allclose(prob.bmin[:m], lo, atol=1e-14)
+        np.testing.assert_allclose(prob.bmax[:m], np.clip(bmax, -1e20, 1e20),
+                                   atol=1e-14)
+        # bound rows: one identity row per non-FR variable, in column order
+        bnd = prob.A.toarray()[m:]
+        cols = [int(np.flatnonzero(r)[0]) for r in bnd]
+        assert cols == [1, 2, 3, 4, 5]
+        exp_lo = np.clip(lvar[cols], -1e20, 1e20)
+        exp_hi = np.clip(uvar[cols], -1e20, 1e20)
+        np.testing.assert_allclose(prob.bmin[m:], exp_lo)
+        np.testing.assert_allclose(prob.bmax[m:], exp_hi)
