@@ -9,11 +9,18 @@ iterations / runtime / objective plus a summary line.
 
 Usage:
   python scripts/run_qps_suite.py DIR [--eps 1e-6] [--platform cpu|tpu]
-      [--max-n 2000] [--f32] [--json out.json]
+      [--max-n 2000] [--f32] [--route dense|sparse|auto] [--json out.json]
 
 Problems are bucketed by padded shape so each bucket compiles once; within a
 bucket they are solved as one vmapped batch.  `--f32` uses the float32 pass
 with f64 escalation of stragglers (see qpalm_tpu.batch.solve_batch_escalate).
+
+`--route auto` sends problems with n > --sparse-above to the host
+sparse-direct path (qpalm_tpu.solve_sparse_auto) one at a time with exact
+per-problem wall times — the route for the n ~ 1e3-1e4 Maros-Meszaros bulk
+(benchmarks/qps_mm).  Every solved instance is additionally KKT-certified
+in f64 on the unscaled problem (primal/dual residuals + complementarity),
+independent of the solver's own status flag.
 """
 
 import argparse
@@ -32,6 +39,34 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def kkt_certify(Q, A, q, bmin, bmax, x, y, eps):
+    """Independent f64 KKT check on the unscaled problem (the criteria of
+    termination.c:44-129 with identity scaling, plus complementarity).
+    Returns (ok, pri_norm, dua_norm)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    if not (np.all(np.isfinite(x)) and np.all(np.isfinite(y))):
+        return False, np.inf, np.inf
+    Ax = A @ x
+    z = np.clip(Ax, bmin, bmax)
+    pri = float(np.max(np.abs(Ax - z))) if Ax.size else 0.0
+    Qx = Q @ x
+    Aty = A.T @ y
+    dua = float(np.max(np.abs(Qx + q + Aty)))
+    eps_pri = eps + eps * max(np.max(np.abs(Ax), initial=0.0),
+                              np.max(np.abs(z), initial=0.0))
+    eps_dua = eps + eps * max(np.max(np.abs(Qx), initial=0.0),
+                              np.max(np.abs(q), initial=0.0),
+                              np.max(np.abs(Aty), initial=0.0))
+    comp = 0.0
+    if Ax.size:
+        comp = float(np.max(
+            np.where(y > eps, np.abs(Ax - bmax), 0.0)
+            + np.where(y < -eps, np.abs(Ax - bmin), 0.0), initial=0.0))
+    ok = pri <= eps_pri and dua <= eps_dua and comp <= eps_pri + eps
+    return ok, pri, dua
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("dir")
@@ -40,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--max-n", type=int, default=2000,
                     help="skip problems with more variables (dense memory)")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--route", choices=["dense", "sparse", "auto"],
+                    default="dense")
+    ap.add_argument("--sparse-above", type=int, default=400,
+                    help="auto route: n above this goes to the sparse path")
     ap.add_argument("--json", default=None)
     ap.add_argument("--markdown", default=None,
                     help="write the per-problem results table to this file")
@@ -63,12 +102,20 @@ def main(argv=None):
         print(f"no QPS files in {args.dir}", file=sys.stderr)
         return 1
 
-    problems, names, skipped = [], [], []
+    def sparse_routed(p):
+        if args.route == "sparse":
+            return True
+        return args.route == "auto" and p.n > args.sparse_above
+
+    problems, names, skipped, sparse_probs = [], [], [], []
     for f in files:
         try:
             p = load_qps(f)
         except Exception as e:
             skipped.append((os.path.basename(f), f"parse error: {e}"))
+            continue
+        if sparse_routed(p):
+            sparse_probs.append(p)
             continue
         if p.n > args.max_n:
             skipped.append((os.path.basename(f), f"n={p.n} > --max-n"))
@@ -101,6 +148,10 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         t_total += dt
         for j, i in enumerate(idxs):
+            Qd, Ad, qv, bl, bu, cc = problems[i]
+            ok, pri, dua = kkt_certify(
+                Qd, Ad, qv, bl, bu, np.asarray(res.x)[j][: sizes[i][0]],
+                np.asarray(res.y)[j][: sizes[i][1]], args.eps)
             results[i] = {
                 "name": names[i],
                 "n": sizes[i][0],
@@ -108,8 +159,34 @@ def main(argv=None):
                 "status": int(np.asarray(res.status)[j]),
                 "iter": int(np.asarray(res.iterations)[j]),
                 "objective": float(np.asarray(res.objective)[j]),
+                "time_s": dt / len(idxs),
+                "kkt": bool(ok),
             }
         print(f"bucket {key}: {len(idxs)} problems in {dt:.2f}s")
+
+    # host sparse-direct route (the MM n >= 1e3 bulk)
+    if sparse_probs:
+        from qpalm_tpu import solve_sparse_auto
+
+        sset = Settings(eps_abs=args.eps, eps_rel=args.eps, max_iter=50000,
+                        scaling=10, verbose=False)
+        for p in sorted(sparse_probs, key=lambda p: p.n):
+            t0 = time.perf_counter()
+            r = solve_sparse_auto(p.Q, p.A, p.q, p.bmin, p.bmax,
+                                  settings=sset, c=p.c)
+            dt = time.perf_counter() - t0
+            t_total += dt
+            ok, pri, dua = kkt_certify(p.Q, p.A, p.q, p.bmin, p.bmax,
+                                       r.x, r.y, args.eps)
+            results.append({
+                "name": p.name, "n": p.n, "m": p.m, "status": int(r.status),
+                "iter": int(r.iterations), "objective": float(r.objective),
+                "time_s": dt, "kkt": bool(ok), "route": "sparse",
+            })
+            print(f"sparse {p.name}: n={p.n} m={p.m} "
+                  f"status={r.status_str} iter={r.iterations} "
+                  f"obj={r.objective:.6e} kkt={'y' if ok else 'N'} "
+                  f"{dt:.2f}s", flush=True)
 
     def expected_status(name):
         """Infeasible instances encode their expected certificate status in
@@ -122,14 +199,17 @@ def main(argv=None):
 
     for r in results:
         r["expected"] = expected_status(r["name"])
-        r["correct"] = r["status"] == r["expected"]
+        r["correct"] = r["status"] == r["expected"] and (
+            r["expected"] != 1 or r.get("kkt", True))
     n_correct = sum(1 for r in results if r["correct"])
     n_solved = sum(1 for r in results if r["status"] == 1)
     print(f"\n{'name':<16} {'n':>6} {'m':>7} {'status':>7} {'iter':>7} "
-          f"{'ok':>3} objective")
+          f"{'kkt':>4} {'time':>8} {'ok':>3} objective")
     for r in results:
         print(f"{r['name']:<16} {r['n']:>6} {r['m']:>7} {r['status']:>7} "
-              f"{r['iter']:>7} {'y' if r['correct'] else 'N':>3} "
+              f"{r['iter']:>7} {'y' if r.get('kkt') else '-':>4} "
+              f"{r.get('time_s', 0.0):>7.2f}s "
+              f"{'y' if r['correct'] else 'N':>3} "
               f"{r['objective']: .6e}")
     for name, why in skipped:
         print(f"{name:<16} SKIPPED ({why})")
@@ -145,12 +225,15 @@ def main(argv=None):
                     f"`expected` encodes the certificate status infeasible "
                     f"instances must return.\n\n")
             f.write("| name | n | m | status | expected | iter | objective "
-                    "| ok |\n|---|---|---|---|---|---|---|---|\n")
+                    "| kkt | time (s) | ok |\n"
+                    "|---|---|---|---|---|---|---|---|---|---|\n")
             for r in results:
                 f.write(
                     f"| {r['name']} | {r['n']} | {r['m']} | {r['status']} "
                     f"| {r['expected']} | {r['iter']} "
                     f"| {r['objective']:.6e} "
+                    f"| {'yes' if r.get('kkt') else '-'} "
+                    f"| {r.get('time_s', 0.0):.2f} "
                     f"| {'yes' if r['correct'] else 'NO'} |\n"
                 )
             f.write(f"\n**correct {n_correct}/{len(results)}** in "

@@ -83,3 +83,37 @@ def test_maros_parsers_agree():
         np.testing.assert_allclose(pp.bmin, pn.bmin, atol=0, err_msg=path)
         np.testing.assert_allclose(pp.bmax, pn.bmax, atol=0, err_msg=path)
         assert pp.c == pn.c, path
+
+
+MM_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                      "qps_mm")
+
+# Published Maros-Meszaros optima for the algorithmically-defined CVXQP
+# family (Calamai & More via CUTE).  The committed QPS files are generated
+# by scripts/make_mm_suite.py; matching these optima validates BOTH the
+# generator's exactness and the solve (a generator error and a solver
+# error trip the same assertion).
+CVXQP_PUBLISHED = {
+    "CVXQP1_S": 1.1590718e4,
+    "CVXQP2_S": 8.1209405e3,
+    "CVXQP3_S": 1.1943432e4,
+    "CVXQP1_M": 1.0875116e6,
+    "CVXQP2_M": 8.2015543e5,
+    "CVXQP3_M": 1.3628287e6,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CVXQP_PUBLISHED))
+def test_cvxqp_published_optimum(name):
+    path = os.path.join(MM_DIR, name + ".qps")
+    if not os.path.exists(path):
+        pytest.skip("MM suite not generated (scripts/make_mm_suite.py)")
+    fstar = CVXQP_PUBLISHED[name]
+    p = load_qps_python(path)
+    from qpalm_tpu import solve_sparse_auto
+
+    s = Settings(eps_abs=1e-7, eps_rel=1e-7, verbose=False, max_iter=5000)
+    r = solve_sparse_auto(p.Q, p.A, p.q, p.bmin, p.bmax, settings=s, c=p.c)
+    assert r.status_str == "solved", (name, r.status_str)
+    assert abs(r.objective - fstar) <= 1e-5 * abs(fstar), (
+        name, r.objective, fstar)
