@@ -475,7 +475,17 @@ def polish_batch_np(
     if len(args) == 1:
         parts = [_np_polish_chunk(*args[0])]
     else:
-        with ThreadPoolExecutor(max_workers=len(args)) as pool:
-            parts = list(pool.map(lambda t: _np_polish_chunk(*t), args))
+        # one BLAS thread per pool worker: the chunks already use every
+        # core, so OpenBLAS threading inside dsytrf/gesv on top is pure
+        # oversubscription (measured 3.3x slower on the lasso shape:
+        # 0.48 s vs 0.15 s at B=512, nk~150, 4 cores)
+        try:
+            from threadpoolctl import threadpool_limits
+        except ImportError:  # pragma: no cover - baked into this env
+            import contextlib
+            threadpool_limits = lambda limits: contextlib.nullcontext()
+        with threadpool_limits(limits=1):
+            with ThreadPoolExecutor(max_workers=len(args)) as pool:
+                parts = list(pool.map(lambda t: _np_polish_chunk(*t), args))
     return PolishResult(*(np.concatenate([getattr(p, f) for p in parts])
                           for f in PolishResult._fields))
