@@ -606,9 +606,15 @@ def _newton_and_linesearch(st: SolverState, data: QPData, settings: Settings
     if settings.proximal:
         Qd = Qd + d / st.gamma
     Ad = data.A @ d
+    ls_mode = settings.linesearch
+    if ls_mode == "auto":
+        # bisect for f32 (a (B, 2m) sort costs ~450 ms/iter on TPU at
+        # B=128/m=384 vs ~1.4 ms for bisection; both are exact at f32
+        # precision), sort for f64 reference parity
+        ls_mode = "bisect" if dtype == jnp.float32 else "sort"
     tau = exact_linesearch(
         d, Qd, Ad, st.df, st.Ax, st.y, st.sigma, st.sqrt_sigma,
-        data.bmin, data.bmax,
+        data.bmin, data.bmax, mode=ls_mode,
     )
 
     Qd_t = tau * Qd

@@ -32,12 +32,15 @@ def exact_linesearch(
     sqrt_sigma: jnp.ndarray,  # (m,)
     bmin: jnp.ndarray,
     bmax: jnp.ndarray,
+    mode: str = "sort",
 ) -> jnp.ndarray:
     """Return the exact minimizer tau of phi(x + tau*d).
 
     Mirrors reference linesearch.c:14-120; Qd/Ad are computed by the caller
     (reference computes them at linesearch.c:17-23) so they can be reused for
-    the iterate update.
+    the iterate update.  `mode` selects the sort-and-scan walk ("sort",
+    the reference's qsort form) or the sort-free bisection ("bisect") —
+    identical exact minimizer, see `linesearch_bisection`.
     """
     dtype = d.dtype
     eta = jnp.vdot(d, Qd)
@@ -49,6 +52,8 @@ def exact_linesearch(
     alpha_hi = (-y + sigma * (bmax - Ax)) / sqrt_sigma
     alpha = jnp.concatenate([alpha_lo, alpha_hi])  # (2m,)
 
+    if mode == "bisect":
+        return linesearch_bisection(eta, beta, delta, alpha)
     return linesearch_from_breakpoints(eta, beta, delta, alpha)
 
 

@@ -79,6 +79,8 @@ def validate_settings(s):
     chk(s.max_rank_update > 0, "max_rank_update must be positive")
     chk(0 <= s.max_rank_update_fraction <= 1,
         "max_rank_update_fraction must be in [0,1]")
+    chk(s.linesearch in ("auto", "sort", "bisect"),
+        "linesearch must be 'auto', 'sort' or 'bisect'")
     chk(s.factorization_method in (
         C.FACTORIZE_KKT, C.FACTORIZE_SCHUR, C.FACTORIZE_KKT_OR_SCHUR,
         C.FACTORIZE_CG, C.FACTORIZE_STAGE,
