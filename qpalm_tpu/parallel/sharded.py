@@ -63,7 +63,8 @@ def pad_batch_to_devices(data: QPData, n_devices: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "has_ws", "has_gamma", "mesh", "axis_name"),
+    static_argnames=("settings", "has_ws", "has_gamma", "mesh", "axis_name",
+                     "aggregate"),
 )
 @full_matmul_precision
 def solve_batch_sharded(
@@ -76,12 +77,19 @@ def solve_batch_sharded(
     has_gamma: bool,
     mesh: Mesh,
     axis_name: str = "qp",
+    aggregate: bool = True,
 ):
     """Shard the problem batch over `mesh` and solve.
 
     Returns (BatchResult with batch-sharded leaves, aggregate dict with
     replicated scalars: n_solved, total_iters, max_iters) — the aggregates
     ride one `psum`/`pmax` over ICI.
+
+    `aggregate=False` skips the cross-device reductions and the dict holds
+    device-local partials sharded like the batch (shape (n_devices,)):
+    the caller reduces on host after fetching — the right mode when the
+    collectives' latency is visible (gloo/DCN meshes) or when aggregates
+    are only consumed occasionally.  Semantically identical totals.
     """
     spec = P(axis_name)
 
@@ -89,12 +97,20 @@ def solve_batch_sharded(
         res = jax.vmap(
             _solve_one, in_axes=(_DATA_AXES, 0, 0, 0, None, None, None)
         )(d, xw, yw, g, settings, has_ws, has_gamma)
-        n_solved = jax.lax.psum(
-            jnp.sum((res.status == C.QPALM_SOLVED).astype(jnp.int32)),
-            axis_name,
+        n_solved = jnp.sum(
+            (res.status == C.QPALM_SOLVED).astype(jnp.int32)
         )
-        total_iters = jax.lax.psum(jnp.sum(res.iterations), axis_name)
-        max_iters = jax.lax.pmax(jnp.max(res.iterations), axis_name)
+        total_iters = jnp.sum(res.iterations)
+        max_iters = jnp.max(res.iterations)
+        if aggregate:
+            n_solved = jax.lax.psum(n_solved, axis_name)
+            total_iters = jax.lax.psum(total_iters, axis_name)
+            max_iters = jax.lax.pmax(max_iters, axis_name)
+        else:
+            # device-local partials, one scalar per shard
+            n_solved = n_solved[None]
+            total_iters = total_iters[None]
+            max_iters = max_iters[None]
         return res, n_solved, total_iters, max_iters
 
     data_specs = QPData(Q=spec, A=spec, q=spec, bmin=spec, bmax=spec, c=spec)
@@ -102,11 +118,12 @@ def solve_batch_sharded(
         x=spec, y=spec, status=spec, iterations=spec,
         objective=spec, pri_res_norm=spec, dua_res_norm=spec,
     )
+    agg_spec = P() if aggregate else spec
     res, n_solved, total_iters, max_iters = jax.shard_map(
         local_solve,
         mesh=mesh,
         in_specs=(data_specs, spec, spec, spec),
-        out_specs=(out_res_specs, P(), P(), P()),
+        out_specs=(out_res_specs, agg_spec, agg_spec, agg_spec),
         # the solver mixes shard-constant and shard-varying values inside
         # lax.cond branches (factor-cache reuse), which the varying-manual-axes
         # type checker rejects; replication tracking is unnecessary here

@@ -121,14 +121,27 @@ def worker(pid: int, nproc: int, port: int) -> None:
         jax.block_until_ready(res.x)
         return agg
 
+    def run_dp_local():
+        # aggregate=False: no cross-process collectives at all — the
+        # aggregates come back as device-local partials (itemizes how much
+        # of the weak-scaling loss is the gloo reductions themselves)
+        res, agg = solve_batch_sharded(gdata, gx, gy, gg, s, False, False,
+                                       mesh, "qp", aggregate=False)
+        jax.block_until_ready(res.x)
+        return agg
+
     agg = run_dp()
     n_solved = int(agg["n_solved"])
     total_iters = int(agg["total_iters"])
     assert n_solved == B, (nproc, n_solved)
+    agg_l = run_dp_local()
+    assert int(np.sum(np.asarray(agg_l["n_solved"]))) == B, nproc
     t = timed(run_dp, mesh)
+    t_local = timed(run_dp_local, mesh)
     if pid == 0:
         print("DP_RESULT " + json.dumps({
             "devices": nproc, "batch": B, "time_s": round(t, 4),
+            "time_s_noagg": round(t_local, 4),
             "solves_per_s": round(B / t, 1),
             "iters_per_s": round(total_iters / t, 1),
         }), flush=True)
@@ -230,12 +243,21 @@ def main() -> int:
         "",
         f"### DP weak scaling ({B_PER_DEV} QPs/process, n={N}, m={M})",
         "",
-        "| processes | batch | time (s) | solves/s | weak efficiency |",
-        "|---|---|---|---|---|",
+        "`no-agg` times the identical solve with aggregate=False (zero",
+        "cross-process collectives; metrics fetched as local partials) —",
+        "the gap between the two columns is the gloo reduction cost.",
+        "",
+        "| processes | batch | time (s) | no-agg time (s) | solves/s "
+        "| weak efficiency | no-agg efficiency |",
+        "|---|---|---|---|---|---|---|",
     ]
+    base_na = dp_rows[0].get("time_s_noagg", dp_rows[0]["time_s"])
     for r in dp_rows:
+        na = r.get("time_s_noagg", r["time_s"])
+        na_eff = round(base_na / na, 3)
         lines.append(f"| {r['devices']} | {r['batch']} | {r['time_s']} | "
-                     f"{r['solves_per_s']} | {r['weak_efficiency']} |")
+                     f"{na} | {r['solves_per_s']} | {r['weak_efficiency']} "
+                     f"| {na_eff} |")
     lines += [
         "",
         "### Stage-sharded distribution overhead (chain of 10 masses, "

@@ -183,3 +183,29 @@ def test_batch_time_limit_and_histogram():
     st = np.asarray(r2.status)
     assert np.all((st == qpalm_tpu.QPALM_TIME_LIMIT_REACHED)
                   | (st == qpalm_tpu.QPALM_SOLVED))
+
+
+def test_sharded_aggregate_false_matches():
+    """aggregate=False returns device-local partials whose host reduction
+    equals the collective aggregates (and identical solutions)."""
+    probs = _problems(16)
+    data = stack_problems(probs, np.float64)
+    B, n_pad = data.q.shape
+    m_pad = data.bmin.shape[1]
+    x_ws = jnp.zeros((B, n_pad))
+    y_ws = jnp.zeros((B, m_pad))
+    gamma = jnp.full((B,), SETTINGS.gamma_init)
+    mesh = default_mesh()
+    res, agg = solve_batch_sharded(
+        data, x_ws, y_ws, gamma, SETTINGS, False, False, mesh, "qp"
+    )
+    res2, agg2 = solve_batch_sharded(
+        data, x_ws, y_ws, gamma, SETTINGS, False, False, mesh, "qp",
+        aggregate=False,
+    )
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(res2.x))
+    assert int(np.sum(np.asarray(agg2["n_solved"]))) == int(agg["n_solved"])
+    assert (int(np.sum(np.asarray(agg2["total_iters"])))
+            == int(agg["total_iters"]))
+    assert (int(np.max(np.asarray(agg2["max_iters"])))
+            == int(agg["max_iters"]))
