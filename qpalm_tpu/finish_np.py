@@ -56,31 +56,34 @@ def _linesearch_bisection_np(eta, beta, delta, alpha, iters=40):
         return a, b
 
     a0, b0 = ab_at(np.full_like(eta, tiny))
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # IEEE overflow/div-by-zero in the -b / max(a, tiny) guards is by
+    # design (a == 0 on a dead lane gives +-inf, clamped by the bracket);
+    # silence the RuntimeWarnings for the whole bisection
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         s = alpha / delta
-    s_valid = np.where(s > 0, s, 0.0)
-    s_max = np.max(np.where(np.isfinite(s_valid), s_valid, 0.0), axis=1)
-    act_fin = delta > 0
-    a_fin = eta + np.sum(np.where(act_fin, dd, 0.0), axis=1)
-    b_fin = beta - np.sum(np.where(act_fin, da, 0.0), axis=1)
-    tau_fin = -b_fin / np.maximum(a_fin, tiny)
-    hi = np.maximum(np.maximum(s_max, tau_fin), 1.0) * 1.01 + 1.0
-    lo = np.zeros_like(hi)
-    tau = np.minimum(-b0 / np.maximum(a0, tiny), hi)
-    tau = np.where(tau > 0, tau, 0.5 * hi)
-    for _ in range(iters):
+        s_valid = np.where(s > 0, s, 0.0)
+        s_max = np.max(np.where(np.isfinite(s_valid), s_valid, 0.0), axis=1)
+        act_fin = delta > 0
+        a_fin = eta + np.sum(np.where(act_fin, dd, 0.0), axis=1)
+        b_fin = beta - np.sum(np.where(act_fin, da, 0.0), axis=1)
+        tau_fin = -b_fin / np.maximum(a_fin, tiny)
+        hi = np.maximum(np.maximum(s_max, tau_fin), 1.0) * 1.01 + 1.0
+        lo = np.zeros_like(hi)
+        tau = np.minimum(-b0 / np.maximum(a0, tiny), hi)
+        tau = np.where(tau > 0, tau, 0.5 * hi)
+        for _ in range(iters):
+            a, b = ab_at(tau)
+            prop = -b / np.maximum(a, tiny)
+            mid = 0.5 * (lo + hi)
+            prop = np.where((prop > lo) & (prop < hi), prop, mid)
+            pa, pb = ab_at(prop)
+            pos = pa * prop + pb > 0
+            lo = np.where(pos, lo, prop)
+            hi = np.where(pos, prop, hi)
+            tau = prop
         a, b = ab_at(tau)
-        prop = -b / np.maximum(a, tiny)
-        mid = 0.5 * (lo + hi)
-        prop = np.where((prop > lo) & (prop < hi), prop, mid)
-        pa, pb = ab_at(prop)
-        pos = pa * prop + pb > 0
-        lo = np.where(pos, lo, prop)
-        hi = np.where(pos, prop, hi)
-        tau = prop
-    a, b = ab_at(tau)
-    tau_star = -b / np.maximum(a, tiny)
-    return np.where(a0 * tiny + b0 > 0, -b0 / a0, tau_star)
+        tau_star = -b / np.maximum(a, tiny)
+        return np.where(a0 * tiny + b0 > 0, -b0 / a0, tau_star)
 
 
 def palm_finish_np(

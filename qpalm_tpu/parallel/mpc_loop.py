@@ -253,6 +253,19 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
     def psum(v):
         return jax.lax.psum(jnp.sum(v), axis)
 
+    # fused reductions: one latency-bound collective for a STACK of
+    # scalars instead of one per scalar.  On gloo-localhost each scalar
+    # collective costs ~0.3-1 ms; the unfused iteration issued ~30 of
+    # them, which alone explains the measured 2.7-4x stage-sharded
+    # overhead (benchmarks/RESULTS_scaling_multiproc.md).  max/sum are
+    # applied per-component, so the arithmetic is IDENTICAL to the
+    # scalar collectives (the full-parity tests assert this).
+    def pmax_vec(vals):
+        return jax.lax.pmax(jnp.stack(vals), axis)
+
+    def psum_vec(vals):
+        return jax.lax.psum(jnp.stack(vals), axis)
+
     def a_matvec(z):
         """(eq (S_loc, nx), box (S_loc, nb)) rows of A z."""
         z_prev = jnp.concatenate([halo_left(z[-1])[None], z[:-1]], axis=0)
@@ -341,82 +354,94 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         dphi = df + Atyh
 
         # ---- termination (termination.c:44-129, scaled norms) ------------
+        # every per-iteration scalar reduction rides ONE fused pmax and
+        # ONE fused psum (identical arithmetic; see pmax_vec)
         Eeqi = 1.0 / scal.Eeq
         Eboxi = 1.0 / scal.Ebox
         Di = 1.0 / scal.D
         cinv = 1.0 / cfac
-        pri_norm = jnp.maximum(
-            pmax(jnp.abs(Eeqi * pri_eq)), pmax(jnp.abs(Eboxi * pri_box))
-        )
         if prox:
             dd_full = dphi - (z - z0) / gamma
         else:
             dd_full = dphi
-        dua_norm = pmax(jnp.abs(Di * dd_full)) * cinv
-        dua2_norm = pmax(jnp.abs(Di * dphi)) * cinv
-        eps_pri = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            jnp.maximum(pmax(jnp.abs(Eeqi * Aeq)),
-                        pmax(jnp.abs(Eboxi * Abox))),
-            jnp.maximum(pmax(jnp.abs(Eeqi * zcl_eq)),
-                        pmax(jnp.abs(Eboxi * zcl_box))),
-        )
         Hz_prox = Hz + z / gamma if prox else Hz
-        max_norm = jnp.maximum(
-            pmax(jnp.abs(Di * Hz_prox)),
-            jnp.maximum(pmax(jnp.abs(Di * d.q)), pmax(jnp.abs(Di * Atyh))),
-        ) * cinv
+        dy_eq = yh_eq - y_eq
+        dy_box = yh_box - y_box
+        At_dy = Di * at_matvec(dy_eq, dy_box)
+        has_lb = d.lo > -C.QPALM_INFTY
+        has_ub = d.hi < C.QPALM_INFTY
+        dz = z - z_prev
+        Ddz = scal.D * dz
+        active_box = (Axys_box <= d.lo) | (Axys_box >= d.hi)
+        ninf = jnp.asarray(-jnp.inf, dtype)
+        mx = pmax_vec([
+            jnp.max(jnp.abs(Eeqi * pri_eq)),          # 0
+            jnp.max(jnp.abs(Eboxi * pri_box)),        # 1
+            jnp.max(jnp.abs(Di * dd_full)),           # 2
+            jnp.max(jnp.abs(Di * dphi)),              # 3
+            jnp.max(jnp.abs(Eeqi * Aeq)),             # 4
+            jnp.max(jnp.abs(Eboxi * Abox)),           # 5
+            jnp.max(jnp.abs(Eeqi * zcl_eq)),          # 6
+            jnp.max(jnp.abs(Eboxi * zcl_box)),        # 7
+            jnp.max(jnp.abs(Di * Hz_prox)),           # 8
+            jnp.max(jnp.abs(Di * d.q)),               # 9
+            jnp.max(jnp.abs(Di * Atyh)),              # 10
+            jnp.max(jnp.abs(scal.Eeq * dy_eq)),       # 11
+            jnp.max(jnp.abs(scal.Ebox * dy_box)),     # 12
+            jnp.max(jnp.abs(At_dy)),                  # 13
+            jnp.max(jnp.abs(Ddz)),                    # 14
+            jnp.max(jnp.abs(pri_eq)),                 # 15 (unscaled)
+            jnp.max(jnp.abs(pri_box)),                # 16
+            jnp.max(jnp.abs(Eeqi * Ad_eq_t)),         # 17
+            jnp.max(jnp.where(has_ub, Eboxi * Ad_box_t, ninf)),   # 18
+            jnp.max(jnp.where(has_lb, -(Eboxi * Ad_box_t), ninf)),  # 19
+        ])
+        el_cnt = jnp.sum((active_box != active_old).astype(dtype))
+        sm = psum_vec([
+            jnp.sum(d.beq * dy_eq)
+            + jnp.sum(
+                jnp.where(has_ub, d.hi * jnp.maximum(dy_box, 0.0), 0.0)
+                + jnp.where(has_lb, d.lo * jnp.minimum(dy_box, 0.0), 0.0)
+            ),                                        # 0: oob
+            jnp.sum(Ddz * Ddz),                       # 1
+            jnp.sum(dz * Hd_t),                       # 2
+            jnp.sum(d.q * dz),                        # 3
+            el_cnt,                                   # 4
+        ])
+
+        pri_norm = jnp.maximum(mx[0], mx[1])
+        dua_norm = mx[2] * cinv
+        dua2_norm = mx[3] * cinv
+        eps_pri = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(mx[4], mx[5]), jnp.maximum(mx[6], mx[7])
+        )
+        max_norm = jnp.maximum(mx[8], jnp.maximum(mx[9], mx[10])) * cinv
         eps_dua = settings.eps_abs + settings.eps_rel * max_norm
         eps_dua_in = eps_abs_in + eps_rel_in * max_norm
 
         solved = (pri_norm < eps_pri) & (dua_norm < eps_dua)
 
         # ---- infeasibility certificates (termination.c:136-240) ----------
-        dy_eq = yh_eq - y_eq
-        dy_box = yh_box - y_box
-        eps_pinf_norm = settings.eps_prim_inf * jnp.maximum(
-            pmax(jnp.abs(scal.Eeq * dy_eq)),
-            pmax(jnp.abs(scal.Ebox * dy_box)),
-        )
-        At_dy = Di * at_matvec(dy_eq, dy_box)
-        has_lb = d.lo > -C.QPALM_INFTY
-        has_ub = d.hi < C.QPALM_INFTY
-        oob = psum(d.beq * dy_eq) + psum(
-            jnp.where(has_ub, d.hi * jnp.maximum(dy_box, 0.0), 0.0)
-            + jnp.where(has_lb, d.lo * jnp.minimum(dy_box, 0.0), 0.0)
-        )
+        eps_pinf_norm = settings.eps_prim_inf * jnp.maximum(mx[11], mx[12])
+        oob = sm[0]
         pinf = (
             (eps_pinf_norm > 0)
-            & (pmax(jnp.abs(At_dy)) <= eps_pinf_norm)
+            & (mx[13] <= eps_pinf_norm)
             & (oob <= -eps_pinf_norm)
         )
 
-        dz = z - z_prev
-        Ddz = scal.D * dz
-        eps_dinf_norm = settings.eps_dual_inf * pmax(jnp.abs(Ddz))
-        dzdz = psum(Ddz * Ddz)
+        eps_dinf_norm = settings.eps_dual_inf * mx[14]
+        dzdz = sm[1]
         bound_violation = (
-            jax.lax.pmax(
-                jnp.max(
-                    jnp.where(jnp.abs(Eeqi * Ad_eq_t) >= eps_dinf_norm,
-                              1.0, 0.0)
-                ), axis,
-            ) > 0
-        ) | (
-            jax.lax.pmax(
-                jnp.max(
-                    jnp.where(has_ub & (Eboxi * Ad_box_t >= eps_dinf_norm),
-                              1.0, 0.0)
-                    + jnp.where(
-                        has_lb & (Eboxi * Ad_box_t <= -eps_dinf_norm),
-                        1.0, 0.0)
-                ), axis,
-            ) > 0
+            (mx[17] >= eps_dinf_norm)
+            | (mx[18] >= eps_dinf_norm)
+            | (mx[19] >= eps_dinf_norm)
         )
-        dzHdz = psum(dz * Hd_t)
+        dzHdz = sm[2]
         e2 = settings.eps_dual_inf * settings.eps_dual_inf
         curvature_ok = (dzHdz <= -cfac * e2 * dzdz) | (
             (dzHdz <= cfac * e2 * dzdz)
-            & (psum(d.q * dz) <= -cfac * eps_dinf_norm)
+            & (sm[3] <= -cfac * eps_dinf_norm)
         )
         dinf = (eps_dinf_norm > 0) & ~bound_violation & curvature_ok
 
@@ -424,10 +449,7 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         outer_trigger = subproblem_done | (no_change == 3)
         exhausted = it == prev_it + settings.inner_max_iter
 
-        active_box = (Axys_box <= d.lo) | (Axys_box >= d.hi)
-        enter_leave = psum(
-            (active_box != active_old).astype(jnp.int32)
-        ).astype(jnp.int32)
+        enter_leave = sm[4].astype(jnp.int32)
 
         # ---- the four branches, fused with where-selects ------------------
         do_term = (solved | pinf | dinf) & ~done
@@ -439,7 +461,7 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
 
         # outer / exhausted: sigma update (iteration.c:86-145; the
         # unscaled pri_res feeds the boost multiplier)
-        pn_uns = jnp.maximum(pmax(jnp.abs(pri_eq)), pmax(jnp.abs(pri_box)))
+        pn_uns = jnp.maximum(mx[15], mx[16])
         upd_sigma = do_sig & (it_out > 0) & (pri_norm > eps_pri)
         cond_eq = jnp.abs(pri_eq) > settings.theta * jnp.abs(pri_in_eq)
         cond_box = (
@@ -482,10 +504,12 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
                 & (nb_changed == 0) & (pri_norm < eps_pri)
             Axys2 = Abox + y_box_new / sig_box_new
             act2 = (Axys2 <= d.lo) | (Axys2 >= d.hi)
-            nb2 = psum((act2 != active_old).astype(jnp.int32)).astype(
-                jnp.int32
-            )
-            nact2 = psum(act2.astype(jnp.int32)).astype(jnp.int32)
+            nb2f, nact2f = psum_vec([
+                jnp.sum((act2 != active_old).astype(dtype)),
+                jnp.sum(act2.astype(dtype)),
+            ])
+            nb2 = nb2f.astype(jnp.int32)
+            nact2 = nact2f.astype(jnp.int32)
             # equality rows are always active, so the active set counts
             # them implicitly; their activity never changes
             boost = check & (nb2 == 0)
@@ -526,8 +550,9 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
 
         Hd = h_matvec(dvec)
         Hd_prox = Hd + dvec / gamma_new if prox else Hd
-        eta = psum(dvec * Hd_prox)
-        beta = psum(dvec * df)
+        eta, beta = psum_vec([
+            jnp.sum(dvec * Hd_prox), jnp.sum(dvec * df)
+        ])
         Ad_eq, Ad_box = a_matvec(dvec)
         sqrt_se = jnp.sqrt(sig_eq_new)
         sqrt_sb = jnp.sqrt(sig_box_new)
@@ -544,8 +569,12 @@ def _loop_body(d: StageScaled, scal: StageScaling, settings: Settings,
         ])
         delta_l = jnp.concatenate([-s_ad, s_ad])
         alpha_l = jnp.concatenate([alpha_lo, alpha_hi])
-        delta_g = jax.lax.all_gather(delta_l, axis).ravel()
-        alpha_g = jax.lax.all_gather(alpha_l, axis).ravel()
+        # one all_gather for both breakpoint vectors (halves the gather
+        # latency; the split below restores exactly the two-gather layout)
+        both_g = jax.lax.all_gather(
+            jnp.stack([delta_l, alpha_l]), axis)
+        delta_g = both_g[:, 0, :].ravel()
+        alpha_g = both_g[:, 1, :].ravel()
         tau = linesearch_from_breakpoints(eta, beta, delta_g, alpha_g)
 
         z_new = jnp.where(do_inner, z + tau * dvec, z)

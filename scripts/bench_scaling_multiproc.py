@@ -147,29 +147,35 @@ def worker(pid: int, nproc: int, port: int) -> None:
         }), flush=True)
 
     # ---- stage-sharded strong scaling ---------------------------------------
-    H, A, q, bmin, bmax, meta = mpc_chain(10, 128, seed=3)
-    sdata = from_mpc_chain(H, A, q, bmin, bmax, meta)
+    # two block regimes: the small-block chain (nb=30 — latency-bound,
+    # the round-3 overhead case) and a LARGE-block chain (nb=120: the
+    # O(nb^3) per-stage Thomas factors dominate — the crossover regime)
     ss = Settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=500, scaling=2,
                   verbose=False)
     mesh_s = default_mesh(nproc, axis_name="stage")
-    gsdata = type(sdata)(*[
-        make_global(a, mesh_s, "stage") for a in sdata
-    ])
+    for tag, masses, horizon in (("small", 10, 128), ("large", 40, 64)):
+        H, A, q, bmin, bmax, meta = mpc_chain(masses, horizon, seed=3)
+        sdata = from_mpc_chain(H, A, q, bmin, bmax, meta)
+        gsdata = type(sdata)(*[
+            make_global(a, mesh_s, "stage") for a in sdata
+        ])
 
-    def run_st():
-        res = solve_mpc_stage_sharded(gsdata, ss, mesh_s, "stage")
-        jax.block_until_ready(res.z)
-        return res
+        def run_st():
+            res = solve_mpc_stage_sharded(gsdata, ss, mesh_s, "stage")
+            jax.block_until_ready(res.z)
+            return res
 
-    res = run_st()
-    assert int(res.status) == C.QPALM_SOLVED, (nproc, int(res.status))
-    iters = int(res.iterations)
-    t = timed(run_st, mesh_s)
-    if pid == 0:
-        print("ST_RESULT " + json.dumps({
-            "devices": nproc, "time_s": round(t, 4), "iterations": iters,
-            "iters_per_s": round(iters / t, 1),
-        }), flush=True)
+        res = run_st()
+        assert int(res.status) == C.QPALM_SOLVED, (nproc, int(res.status))
+        iters = int(res.iterations)
+        t = timed(run_st, mesh_s)
+        if pid == 0:
+            nb = meta["nx"] + meta["nu"]
+            print(f"ST_RESULT_{tag} " + json.dumps({
+                "devices": nproc, "nb": nb, "stages": horizon,
+                "time_s": round(t, 4), "iterations": iters,
+                "iters_per_s": round(iters / t, 1),
+            }), flush=True)
 
     if nproc > 1:
         jax.distributed.shutdown()
@@ -194,16 +200,18 @@ def run_size(nproc: int, port: int):
     if any(rc != 0 for rc in rcs):
         sys.stderr.write(out0)
         raise RuntimeError(f"size {nproc}: worker rcs {rcs}")
-    dp = st = None
+    dp = st = stl = None
     for line in out0.splitlines():
         if line.startswith("DP_RESULT "):
             dp = json.loads(line[len("DP_RESULT "):])
-        elif line.startswith("ST_RESULT "):
-            st = json.loads(line[len("ST_RESULT "):])
-    if dp is None or st is None:
+        elif line.startswith("ST_RESULT_small "):
+            st = json.loads(line[len("ST_RESULT_small "):])
+        elif line.startswith("ST_RESULT_large "):
+            stl = json.loads(line[len("ST_RESULT_large "):])
+    if dp is None or st is None or stl is None:
         sys.stderr.write(out0)
         raise RuntimeError(f"size {nproc}: missing result lines")
-    return dp, st
+    return dp, st, stl
 
 
 MARKER = "## Process-per-device scaling (no core oversubscription)"
@@ -214,13 +222,15 @@ def main() -> int:
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return 0
 
-    dp_rows, st_rows = [], []
+    dp_rows, st_rows, stl_rows = [], [], []
     for k, nproc in enumerate(SIZES):
-        dp, st = run_size(nproc, 47731 + k)
+        dp, st, stl = run_size(nproc, 47731 + k)
         dp_rows.append(dp)
         st_rows.append(st)
+        stl_rows.append(stl)
         print(f"size {nproc}: dp {dp['solves_per_s']} solves/s, "
-              f"stage {st['iters_per_s']} iters/s", flush=True)
+              f"stage-small {st['iters_per_s']} / stage-large "
+              f"{stl['iters_per_s']} iters/s", flush=True)
 
     base = dp_rows[0]["solves_per_s"]
     for r in dp_rows:
@@ -229,6 +239,9 @@ def main() -> int:
     base_t = st_rows[0]["time_s"]
     for r in st_rows:
         r["overhead_factor"] = round(r["time_s"] / base_t, 3)
+    base_tl = stl_rows[0]["time_s"]
+    for r in stl_rows:
+        r["speedup"] = round(base_tl / r["time_s"], 3)
 
     lines = [
         MARKER,
@@ -271,6 +284,24 @@ def main() -> int:
         lines.append(f"| {r['devices']} | {r['time_s']} | "
                      f"{r['iterations']} | {r['iters_per_s']} | "
                      f"{r['overhead_factor']} |")
+    lines += [
+        "",
+        f"### Stage-sharded LARGE blocks (chain of 40 masses, nb="
+        f"{stl_rows[0].get('nb', 120)}, horizon "
+        f"{stl_rows[0].get('stages', 64)})",
+        "",
+        "The crossover regime: per-stage block-Thomas work is O(nb^3),",
+        "so at nb=120 each device's local factor work dominates the",
+        "(fused, latency-bound) collectives.",
+        "",
+        "| processes | time (s) | P-ALM iterations | iters/s | speedup "
+        "vs 1 proc |",
+        "|---|---|---|---|---|",
+    ]
+    for r in stl_rows:
+        lines.append(f"| {r['devices']} | {r['time_s']} | "
+                     f"{r['iterations']} | {r['iters_per_s']} | "
+                     f"{r['speedup']} |")
     lines.append("")
     section = "\n".join(lines)
 
@@ -288,7 +319,8 @@ def main() -> int:
         with open(main_path, "w") as f:
             f.write(body + section)
 
-    print(json.dumps({"dp": dp_rows, "stage": st_rows, "report": out_path}))
+    print(json.dumps({"dp": dp_rows, "stage": st_rows,
+                      "stage_large": stl_rows, "report": out_path}))
     return 0
 
 
