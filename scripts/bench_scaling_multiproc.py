@@ -135,7 +135,11 @@ def worker(pid: int, nproc: int, port: int) -> None:
     total_iters = int(agg["total_iters"])
     assert n_solved == B, (nproc, n_solved)
     agg_l = run_dp_local()
-    assert int(np.sum(np.asarray(agg_l["n_solved"]))) == B, nproc
+    # the no-collective partials are process-local shards: each process
+    # checks ITS shard solved all of its local problems
+    local_solved = sum(int(np.asarray(sh.data).sum())
+                       for sh in agg_l["n_solved"].addressable_shards)
+    assert local_solved == B // nproc, (nproc, local_solved)
     t = timed(run_dp, mesh)
     t_local = timed(run_dp_local, mesh)
     if pid == 0:
