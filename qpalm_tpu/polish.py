@@ -286,8 +286,17 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
         bmax - bmin <= 1e-12 * np.maximum(1.0, np.abs(bmax))
     )
 
+    # batched matvec forms: np.matmul loops BLAS gemm over the batch —
+    # measurably faster than numpy's c_einsum on these (B, m, n) stacks,
+    # and the polish hot path is host data movement, not LAPACK
+    def _mv(M, v):                       # (B, r, c) @ (B, c) -> (B, r)
+        return np.matmul(M, v[:, :, None])[:, :, 0]
+
+    def _vm(v, M):                       # (B, r) @ (B, r, c) -> (B, c)
+        return np.matmul(v[:, None, :], M)[:, 0, :]
+
     def detect(x, y):
-        Ax = np.einsum("bmn,bn->bm", A, x)
+        Ax = _mv(A, x)
         act_lo = has_lb & (
             (y < -y_strong) | ((Ax - bmin < act_tol) & (y <= y_zero))
         )
@@ -371,10 +380,8 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                 return _np_solve_or_nan(K, r[:, :, None])[:, :, 0]
         for _ in range(refine_steps):
             sx, sn = sol[:, :n], sol[:, n:]
-            top = (np.einsum("bij,bj->bi", Q, sx)
-                   + np.einsum("bmi,bm->bi", Aact, sn))
-            bot = (np.einsum("bmi,bi->bm", Aact, sx)
-                   + np.where(wc, 0.0, sn))
+            top = _mv(Q, sx) + _vm(sn, Aact)
+            bot = _mv(Aact, sx) + np.where(wc, 0.0, sn)
             r = rhs - np.concatenate([top, bot], axis=1)
             sol = sol + resolve(r)
         x = sol[:, :n]
@@ -386,13 +393,13 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
         return x, y
 
     def check(x, y):
-        Ax = np.einsum("bmn,bn->bm", A, x)
+        Ax = _mv(A, x)
         z = np.clip(Ax, np.maximum(bmin, -C.QPALM_INFTY),
                     np.minimum(bmax, C.QPALM_INFTY))
         pri_norm = (np.max(np.abs(Ax - z), axis=1) if m
                     else np.zeros(B, x.dtype))
-        Qx = np.einsum("bij,bj->bi", Q, x)
-        Aty = np.einsum("bmn,bm->bn", A, y)
+        Qx = _mv(Q, x)
+        Aty = _vm(y, A)
         dua = Qx + q + Aty
         dua_norm = np.max(np.abs(dua), axis=1)
         eps_pri = eps_abs + eps_rel * np.maximum(
@@ -411,8 +418,7 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
             np.maximum(pri_norm / eps_pri, dua_norm / eps_dua),
             comp_viol / (eps_pri + eps_abs),
         )
-        obj = (0.5 * np.einsum("bi,bi->b", x, Qx)
-               + np.einsum("bi,bi->b", q, x) + c)
+        obj = np.sum((0.5 * Qx + q) * x, axis=1) + c
         return viol, pri_norm, dua_norm, obj
 
     best_chk = check(x0, y0)
