@@ -103,9 +103,27 @@ def solve_batch_sharded(
         total_iters = jnp.sum(res.iterations)
         max_iters = jnp.max(res.iterations)
         if aggregate:
-            n_solved = jax.lax.psum(n_solved, axis_name)
-            total_iters = jax.lax.psum(total_iters, axis_name)
-            max_iters = jax.lax.pmax(max_iters, axis_name)
+            # ONE collective for all three aggregates: pack the two sums
+            # plus a one-hot-by-device-slot encoding of the local max into
+            # a (2 + n_devices,) vector and psum it once — the global max
+            # is then the max over the summed slots (exact, since each
+            # device writes only its own slot).  Separate psum/psum/pmax
+            # calls cost one collective latency each; on gloo-localhost
+            # that was ~40 ms of the 4-process DP gap
+            # (benchmarks/RESULTS_scaling_multiproc.md).
+            nd = mesh.shape[axis_name]
+            slot = jax.lax.axis_index(axis_name)
+            onehot_max = jnp.where(
+                jnp.arange(nd, dtype=jnp.int32) == slot,
+                max_iters.astype(jnp.int32), 0)
+            packed = jnp.concatenate([
+                jnp.stack([n_solved, total_iters.astype(jnp.int32)]),
+                onehot_max,
+            ])
+            packed = jax.lax.psum(packed, axis_name)
+            n_solved = packed[0]
+            total_iters = packed[1].astype(total_iters.dtype)
+            max_iters = jnp.max(packed[2:]).astype(max_iters.dtype)
         else:
             # device-local partials, one scalar per shard
             n_solved = n_solved[None]

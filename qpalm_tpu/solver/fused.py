@@ -50,6 +50,20 @@ from ..types import QPData, Settings
 
 LANES = 128  # problems per kernel program (= VPU lane width)
 
+# Streaming-kernel admission walls (both hardware-validated on a v5e):
+#   ALIAS_WALL  — largest n_pad where the input_output_aliases program is
+#                 validated (round-3 smoke: exact fused/XLA parity at 224;
+#                 256 with aliases silently corrupts — 83/128 NaN lanes).
+#   STREAM_WALL — largest n_pad for the alias-FREE variant (round-4
+#                 bisect: dropping the 16 input_output_aliases fixes the
+#                 corruption entirely; 232/256/288/320/352 all run clean
+#                 with 128/128 f64-KKT-checked solves, and 384 fails
+#                 LOUDLY at Mosaic compile, so there is no silent hazard
+#                 past this wall).  fused_chunk auto-selects the no-alias
+#                 program for n_pad > ALIAS_WALL.
+ALIAS_WALL = 224
+STREAM_WALL = 352
+
 # scalar-state rows (SC ref layout, one row per per-lane scalar)
 _GAMMA, _EPSA_IN, _EPSR_IN, _DONE, _ITER, _PREV_ITER, _NO_CHANGE, \
     _GAMMA_MAXED, _ITER_OUT, _GERSH, _NB_CHANGED, _PRI_NORM, _DUA_NORM, \
@@ -83,6 +97,13 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
     for P in (16, 8):
         if n_pad % P or m_pad % P:
             continue
+        # vector-state footprint: the aliased tier shares in/out buffers
+        # (12n + 13m rows); the no-alias tier past ALIAS_WALL doubles the
+        # 8 n-row and 7 m-row state leaves (20n + 20m rows)
+        if n_pad <= ALIAS_WALL:
+            vec_rows = 12 * n_pad + 13 * m_pad
+        else:
+            vec_rows = 20 * n_pad + 20 * m_pad
         vmem = (
             n_pad * n_pad            # M_s (Schur factor scratch)
             + _row_chunk(n_pad) * n_pad  # Mosaic stack temp: the rank-1
@@ -91,34 +112,49 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
                                      # full-matrix temporary to
                                      # (RCH, n, LANES)
             + 2 * P * n_pad          # double-buffered Q/A panel
-            + 12 * n_pad + 13 * m_pad + 2 * _SC_ROWS  # vector state
+            + vec_rows + 2 * _SC_ROWS  # vector state
         ) * LANES * 4
         # streaming kernels compile with an adaptive vmem_limit (plan
         # + 25% headroom).  Admission is gated on BOTH the plan bytes and
-        # n_pad <= 224 — the HARDWARE-VALIDATED boundary, not the physical
-        # 128 MB: n_pad=224 (plan ~37 MB) runs correctly on a v5e with
-        # exact fused/XLA status parity, while n_pad=256 Mosaic-compiles —
-        # with either the chunked or the unchunked updates, at limits
-        # 54-94 MB — but the compiled kernel corrupts state (83/128 NaN
-        # lanes; interpret mode is clean, so the kernel logic is right —
-        # 2026-08-19 bisects).  The explicit n_pad cap closes the
-        # n_pad=232 hole (multiple of 8 only, plan ~34 MB): it passed the
-        # byte cap but was never hardware-validated, and the failure mode
-        # past the wall is silent corruption, not a crash.  Shapes past
-        # the cap fall back to the XLA loop.
-        if n_pad <= 224 and vmem <= 38 * 2**20:
+        # the n_pad walls — HARDWARE-VALIDATED boundaries, not the
+        # physical 128 MB:
+        #   * n_pad <= ALIAS_WALL (224, plan <= 38 MB): the aliased
+        #     program, round-3-validated with exact fused/XLA status
+        #     parity (benchmarks/SMOKE_TPU_r03.txt).
+        #   * ALIAS_WALL < n_pad <= STREAM_WALL (352, plan <= 80 MB):
+        #     the alias-free program fused_chunk auto-selects in this
+        #     tier.  Round-4 bisect: with the 16 input_output_aliases the
+        #     n_pad=256 kernel Mosaic-compiles but silently corrupts
+        #     state (83/128 NaN lanes; interpret mode clean; the round-3
+        #     scratch/DMA probes all passed — scripts/probe_n256.py,
+        #     probe_mosaic_scratch.py); WITHOUT the aliases the same
+        #     kernel runs clean at 232(P=8)/256/288/320/352, every lane
+        #     f64-KKT-checked, and n_pad=384 (plan ~96 MB) fails loudly
+        #     at Mosaic compile — no silent hazard past the wall.
+        # Shapes past STREAM_WALL fall back to the XLA loop.
+        cap = (38 if n_pad <= ALIAS_WALL else 82) * 2**20
+        if n_pad <= STREAM_WALL and vmem <= cap:
             return P
     return -1
 
 
-def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
+def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0,
+                 alias: bool = True):
     """Build the kernel body for static (n, m, chunk length, settings).
 
     `qa_panel` 0 keeps Q and A VMEM-resident; P > 0 leaves them in HBM and
     streams P-row panels through a shared double-buffered VMEM scratch —
     every Q/A access in the solver is a sequential row sweep (matvecs,
     Schur assembly), so streaming only re-shapes those sweeps and leaves
-    the parity-critical iteration logic untouched."""
+    the parity-critical iteration logic untouched.
+
+    `alias` False builds the no-input_output_aliases variant: the state
+    outputs are fresh buffers and the kernel copies each state input into
+    its output ref before iterating (one ~2 MB VMEM copy per call —
+    noise).  This exists because the 16-alias program is the prime
+    suspect for the n_pad=256 silent corruption (the round-3 probes ruled
+    out raw VMEM pressure and the DMA primitives, and the >8-call alias
+    mis-routing documented at MAX_LANES_PER_CALL is the same bug class)."""
     eps_abs = float(s.eps_abs)
     eps_rel = float(s.eps_rel)
     eps_pinf = float(s.eps_prim_inf)
@@ -152,9 +188,20 @@ def _make_kernel(n: int, m: int, T: int, s: Settings, qa_panel: int = 0):
                aty_ref, xprev_ref, tqd_ref, tad_ref, td_ref,
                certy_ref, certx_ref,
                M_s, d_s, yh_s, w_s, Qd_s, Ad_s, *qa_scratch):
-        # the state inputs alias the state outputs buffer-for-buffer
-        # (input_output_aliases below), so the kernel reads and writes
-        # through the out refs only; the *_i refs are the same memory.
+        # With alias=True the state inputs alias the state outputs
+        # buffer-for-buffer (input_output_aliases below), so the kernel
+        # reads and writes through the out refs only; the *_i refs are the
+        # same memory.  With alias=False the out refs are fresh buffers,
+        # seeded from the input refs here.
+        if not alias:
+            for src, dst in (
+                (_xi, x_ref), (_x0i, x0_ref), (_Qxi, Qx_ref), (_yi, y_ref),
+                (_Axi, Ax_ref), (_sigi, sig_ref), (_prini, prin_ref),
+                (_actoldi, actold_ref), (_sci, sc_ref), (_atyi, aty_ref),
+                (_xpi, xprev_ref), (_tqdi, tqd_ref), (_tadi, tad_ref),
+                (_tdi, td_ref), (_certyi, certy_ref), (_certxi, certx_ref),
+            ):
+                dst[:] = src[:]
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
         q = q_ref[:]
         bmin = bmin_ref[:]
@@ -880,16 +927,21 @@ class FusedState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "settings", "interpret", "qa_panel")
+    jax.jit, static_argnames=("T", "settings", "interpret", "qa_panel",
+                              "alias")
 )
 def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
-                interpret: bool = False, qa_panel: int = -2) -> FusedState:
+                interpret: bool = False, qa_panel: int = -2,
+                alias: bool = True) -> FusedState:
     """Run T solver iterations on lane-last stacked data.
 
     data_t: (Q (n,n,B), A (m,n,B), q (n,B), bmin (m,B), bmax (m,B))
     scal_t: (Dinv (n,B), Einv (m,B), cinv (1,B))  — identity when unscaled.
     `qa_panel` -2 picks the memory plan from the shape (pick_qa_panel);
     0 forces the all-VMEM kernel, P > 0 forces HBM-streamed Q/A panels.
+    `alias` False drops the input_output_aliases (see _make_kernel);
+    past ALIAS_WALL the aliased program is known-corrupt on hardware, so
+    the no-alias variant is forced regardless of the flag.
     """
     Q, A, q, bmin, bmax = data_t
     n, _, B = Q.shape
@@ -898,7 +950,8 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
     if qa_panel == -2:
         qa_panel = pick_qa_panel(n, m)
     assert qa_panel >= 0, (n, m, qa_panel)
-    kernel = _make_kernel(n, m, T, settings, qa_panel)
+    alias = alias and n <= ALIAS_WALL
+    kernel = _make_kernel(n, m, T, settings, qa_panel, alias)
 
     def spec(rows):
         return pl.BlockSpec((rows, LANES), lambda: (0, 0),
@@ -964,9 +1017,10 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
         # the v5e's 128 MB physical VMEM; pick_qa_panel() budgets the
         # identical formula at admission time.
         if qa_panel:
+            vec_rows = (12 * n + 13 * m) if alias else (20 * n + 20 * m)
             need = (
                 n * n + _row_chunk(n) * n + 2 * qa_panel * n
-                + 12 * n + 13 * m + 2 * _SC_ROWS
+                + vec_rows + 2 * _SC_ROWS
             ) * LANES * 4
             params = pltpu.CompilerParams(
                 vmem_limit_bytes=min(int(need * 1.25) + 2 * 2**20,
@@ -980,9 +1034,12 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
-            input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
-                                  14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
-                                  19: 11, 20: 12, 21: 13, 22: 14, 23: 15},
+            input_output_aliases=(
+                {8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5,
+                 14: 6, 15: 7, 16: 8, 17: 9, 18: 10,
+                 19: 11, 20: 12, 21: 13, 22: 14, 23: 15}
+                if alias else {}
+            ),
             compiler_params=params,
             interpret=interpret,
         )(*args)
@@ -1152,7 +1209,8 @@ MAX_LANES_PER_CALL = 8 * LANES
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "has_x", "has_y", "interpret", "qa_panel"),
+    static_argnames=("settings", "has_x", "has_y", "interpret", "qa_panel",
+                     "alias"),
 )
 def _fused_solve_core(
     data: QPData,
@@ -1165,6 +1223,7 @@ def _fused_solve_core(
     gamma_init=None,
     gamma_max=None,
     qa_panel: int = -2,
+    alias: bool = True,
 ):
     """The whole fused solve (scale + init + max_iter kernel iterations +
     unscale) as ONE jitted program.  B must be <= MAX_LANES_PER_CALL."""
@@ -1172,7 +1231,7 @@ def _fused_solve_core(
         data, settings, x_ws, y_ws, has_x, has_y, gamma_init, gamma_max
     )
     st = fused_chunk(data_t, scal_t, st, int(settings.max_iter), settings,
-                     interpret, qa_panel)
+                     interpret, qa_panel, alias)
     return _finish(data_t, scal, st)
 
 
@@ -1187,6 +1246,7 @@ def fused_solve_jit(
     gamma_init=None,
     gamma_max=None,
     qa_panel: int = -2,
+    alias: bool = True,
 ):
     """Host-splitting front for `_fused_solve_core`: batches above
     MAX_LANES_PER_CALL are solved in <=1024-lane groups (see the cap's
@@ -1197,7 +1257,7 @@ def fused_solve_jit(
     if B <= MAX_LANES_PER_CALL:
         return _fused_solve_core(
             data, x_ws, y_ws, settings, has_x, has_y, interpret,
-            gamma_init, gamma_max, qa_panel,
+            gamma_init, gamma_max, qa_panel, alias,
         )
     outs = []
     for s0 in range(0, B, MAX_LANES_PER_CALL):
@@ -1207,7 +1267,7 @@ def fused_solve_jit(
             x_ws[sl], y_ws[sl], settings, has_x, has_y, interpret,
             None if gamma_init is None else gamma_init[sl],
             None if gamma_max is None else gamma_max[sl],
-            qa_panel,
+            qa_panel, alias,
         ))
     return tuple(
         jnp.concatenate([o[k] for o in outs], axis=0)
@@ -1225,6 +1285,7 @@ def solve_batch_fused(
     gamma_init=None,
     gamma_max=None,
     qa_panel: int = -2,
+    alias: bool = True,
 ):
     """Solve a stacked batch (leading batch axis, as from stack_problems)
     with the fused kernel.  Returns (x (B,n), y (B,m), status (B,),
@@ -1258,7 +1319,7 @@ def solve_batch_fused(
                 chunk, interpret,
                 None if gamma_init is None else gamma_init[sl],
                 None if gamma_max is None else gamma_max[sl],
-                qa_panel,
+                qa_panel, alias,
             ))
         return tuple(
             jnp.concatenate([o[k] for o in outs], axis=0)
@@ -1272,7 +1333,7 @@ def solve_batch_fused(
             has_x=x_ws is not None, has_y=y_ws is not None,
             interpret=interpret,
             gamma_init=gamma_init, gamma_max=gamma_max,
-            qa_panel=qa_panel,
+            qa_panel=qa_panel, alias=alias,
         )
 
     data_t, scal_t, scal, st = _prepare(
@@ -1283,7 +1344,7 @@ def solve_batch_fused(
     while iters_done < settings.max_iter:
         step = min(int(chunk), int(settings.max_iter) - iters_done)
         st = fused_chunk(data_t, scal_t, st, step, settings, interpret,
-                         qa_panel)
+                         qa_panel, alias)
         iters_done += step
         if iters_done < settings.max_iter:
             if bool(jnp.all(st.sc[_DONE] > 0.5)):

@@ -73,12 +73,13 @@ def main():
         return 128
 
     # 20..100 is the reference randomQP.m sweep; 128..224 ride the
-    # HBM-streaming fused kernel, 256 the XLA loop (past the validated
-    # streaming wall).  The batch size keys on the ACTUAL variable count
-    # (lasso(20) builds an n=80 QP).
+    # HBM-streaming fused kernel (aliased tier), 256..352 its alias-free
+    # tier (round 4: dropping input_output_aliases fixed the n_pad=256
+    # corruption and moved the wall to 352).  The batch size keys on the
+    # ACTUAL variable count (lasso(20) builds an n=80 QP).
     families = (
         ("randomQP", lambda n, i: random_qp(n, n, seed=10 * n + i),
-         (20, 40, 60, 80, 100, 128, 160, 224, 256)),
+         (20, 40, 60, 80, 100, 128, 160, 224, 256, 320, 352)),
         ("lasso", lambda n, i: lasso(n, seed=3 * n + i), (20, 50)),
         ("portfolio", lambda n, i: portfolio(n, seed=7 * n + i),
          (60, 120)),

@@ -1,7 +1,14 @@
-"""One-off hardware probe: can the HBM-streaming fused kernel compile and
-run at n=256/m=384 if the scoped-VMEM limit is raised toward the v5e's
-128 MB physical VMEM?  Working set: M_s 32 MB + Mosaic's (n,n,L) stack
-temp 32 MB + qa_buf 8.4 MB + vectors ~3 MB ~= 76 MB."""
+"""Hardware probe for the n_pad=256 streaming kernel.
+
+History: with the 16 input_output_aliases this shape Mosaic-compiled but
+silently corrupted state (83/128 NaN lanes) at every VMEM-limit/chunking
+variant, while interpret mode was clean (round-3 bisects; the isolated
+scratch/DMA probes in probe_mosaic_scratch.py all passed).  Round 4
+bisected the trigger to the ALIASES themselves: the alias-free program
+(fused_chunk auto-selects it past ALIAS_WALL=224) runs clean at
+232/256/288/320/352 with per-lane f64 KKT checks, and n_pad=384 fails
+loudly at Mosaic compile.  This probe now validates the fix: it runs the
+(auto-no-alias) kernel at n_pad=256 and checks parity vs the XLA loop."""
 import sys
 import time
 

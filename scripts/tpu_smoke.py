@@ -8,7 +8,10 @@ Validates, on ONE real-TPU B=128 batch per configuration:
   2. the HBM-streaming kernel (n=128: Q/A panel-DMA'd) — same parity bar;
   3. dual-objective termination + nonconvex gamma-pinned configurations
      (the commit-b6ba52a semantics: stall counter, gamma-boost baseline,
-     certificate aliasing, NaN-safe masking) — statuses/x asserted.
+     certificate aliasing, NaN-safe masking) — statuses/x asserted;
+  4. the alias-free streaming tier (224 < n_pad <= 352, round 4): XLA
+     parity at n_pad=256 and 128/128 f64 KKT certification at the
+     n_pad=352 wall.
 
 Exit code 0 = all checks passed; prints one PASS/FAIL line per check plus
 a trailing JSON summary.  Reference semantics at stake: qpalm.c:664-665,
@@ -322,6 +325,44 @@ def main():
             assert pri < 5e-3 and dua < 5e-3, (i, pri, dua)
 
     check("scenario_10240_lanes", scenario_check)
+
+    # 10. the alias-free streaming tier at n_pad=256 — the shape whose
+    #     ALIASED program silently corrupts (round-3 bisect); fused_chunk
+    #     auto-selects the no-alias program past ALIAS_WALL=224.  Full
+    #     per-lane parity vs the XLA loop (panel-order f32 rounding allows
+    #     a couple of lanes one extra inner iteration, as at n_pad=224).
+    assert pick_qa_panel(256, 384) > 0
+    check("noalias_streaming_parity_n256",
+          lambda: _parity(_probs(63, 254, 382, 128), s, 254, 382,
+                          max_iter_drift=3))
+
+    # 11. the alias-free tier AT its wall (n_pad = 352): direct f64 KKT
+    #     certification of every lane (the XLA-loop reference compile at
+    #     this size is minutes — the independent KKT check is the
+    #     stronger assertion anyway)
+    def noalias_wall_check():
+        from qpalm_tpu.batch import stack_problems
+        from qpalm_tpu.solver.fused import solve_batch_fused
+
+        assert pick_qa_panel(352, 528) > 0
+        probs = _probs(64, 350, 526, 128)
+        data = stack_problems(probs, np.float32)
+        x, y, status, iters, *_ = solve_batch_fused(data, s)
+        status = np.asarray(status)
+        assert (status == C_SOLVED).all(), (
+            f"solved {(status == C_SOLVED).sum()}/128")
+        x, y = np.asarray(x), np.asarray(y)
+        assert not np.isnan(x).any()
+        for i in range(128):
+            Q, A, q, bmin, bmax = probs[i]
+            xi = x[i][:350].astype(np.float64)
+            yi = y[i][:526].astype(np.float64)
+            Ax = A @ xi
+            pri = np.abs(Ax - np.clip(Ax, bmin, bmax)).max()
+            dua = np.abs(Q @ xi + q + A.T @ yi).max()
+            assert pri < 5e-3 and dua < 5e-3, (i, pri, dua)
+
+    check("noalias_streaming_wall_n352", noalias_wall_check)
 
     ok = all(r["ok"] for r in RESULTS)
     print(json.dumps({"smoke_ok": ok, "checks": RESULTS}), flush=True)

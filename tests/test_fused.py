@@ -354,32 +354,45 @@ def test_pick_qa_panel_plan_tiers():
     HBM-streamed (P>0), shapes past the hardware-validated boundary
     rejected (-1).  Budget model: n^2 (M_s) + RCH*n (the row-chunked
     rank-1 updates bound Mosaic's stack temporary) + double-buffered
-    panels + vector state.  The admission cap (38 MB plan) is the
-    v5e-validated wall: n_pad=224 runs on hardware with exact fused/XLA
-    status parity, n_pad=256 Mosaic-compiles but corrupts state (see
-    pick_qa_panel's comments, benchmarks/SMOKE_TPU_r03.txt and
-    scripts/probe_n256.py)."""
-    from qpalm_tpu.solver.fused import LANES, _row_chunk, pick_qa_panel
+    panels + vector state.  TWO admission tiers, both v5e-validated:
+    n_pad <= 224 runs the aliased program (round-3 smoke: exact
+    fused/XLA status parity); 224 < n_pad <= 352 runs the ALIAS-FREE
+    program (round-4 bisect: the 16 input_output_aliases are what
+    corrupts n_pad=256 — without them 232/256/288/320/352 all run
+    clean on hardware, and n_pad=384 fails loudly at Mosaic compile).
+    See pick_qa_panel's comments and scripts/probe_n256.py."""
+    from qpalm_tpu.solver.fused import (
+        ALIAS_WALL, LANES, STREAM_WALL, _row_chunk, pick_qa_panel,
+    )
 
+    assert (ALIAS_WALL, STREAM_WALL) == (224, 352)
     assert pick_qa_panel(64, 96) == 0          # bench shape: all-VMEM
     assert pick_qa_panel(80, 120) == 0
     P = pick_qa_panel(128, 192)                # smoke-validated streaming
     assert P > 0 and 128 % P == 0
     assert pick_qa_panel(192, 288) > 0         # validated streaming sizes
     assert pick_qa_panel(224, 336) > 0
-    assert pick_qa_panel(232, 348) == -1       # plan fits (~34 MB) but the
-    # shape sits strictly between the validated 224 wall and the
-    # corrupting 256 — the explicit n_pad cap must reject it
-    assert pick_qa_panel(256, 384) == -1       # past the validated wall
+    # the no-alias tier: every hardware-validated size admits
+    assert pick_qa_panel(232, 352) == 8        # multiple of 8 only -> P=8
+    assert pick_qa_panel(256, 384) == 16
+    assert pick_qa_panel(288, 432) == 16
+    assert pick_qa_panel(320, 480) == 16
+    assert pick_qa_panel(352, 528) == 16
+    # past STREAM_WALL: rejected (n_pad=384 fails loudly at compile
+    # anyway; the gate keeps it off the admission path)
+    assert pick_qa_panel(384, 576) == -1
     assert pick_qa_panel(512, 768) == -1
-    # admitted plans must stay under the validated 38 MB cap
-    for n, m in ((128, 192), (224, 336)):
+    # admitted plans must stay under their tier caps
+    for n, m, rows_n, rows_m, cap in (
+        (128, 192, 12, 13, 38), (224, 336, 12, 13, 38),
+        (256, 384, 20, 20, 82), (352, 528, 20, 20, 82),
+    ):
         p = pick_qa_panel(n, m)
         need = (n * n + _row_chunk(n) * n + 2 * p * n
-                + 12 * n + 13 * m + 38) * LANES * 4
-        assert need <= 38 * 2**20
+                + rows_n * n + rows_m * m + 38) * LANES * 4
+        assert need <= cap * 2**20, (n, m, need / 2**20)
     # row chunks divide n and stay sublane-aligned
-    for n in (104, 128, 160, 192, 224):
+    for n in (104, 128, 160, 192, 224, 256, 320, 352):
         r = _row_chunk(n)
         assert r % 8 == 0 and n % r == 0 and n // r >= 4
 
