@@ -56,11 +56,13 @@ os.environ.setdefault("QPALM_TPU_PALLAS", "0")
 
 import numpy as np  # noqa: E402
 
-K_ROUNDS = int(os.environ.get("QPALM_BENCH_K", "6"))
-REPS = 3  # timed pipeline repetitions (distinct problems each; the axon
+K_ROUNDS = int(os.environ.get("QPALM_BENCH_K", "8"))
+REPS = 5  # timed pipeline repetitions (distinct problems each; the axon
 # stack memoizes bit-identical inputs).  The reported number is the MEDIAN
 # rep; all reps are disclosed in detail.pipeline_s_reps; all wall-clock is
-# charged within a rep.
+# charged within a rep.  5 reps because the tunnel's ambient RPC drag
+# swings identical code >2x rep-to-rep (see RESULTS_workloads variance
+# appendix); the median of 5 is materially stabler than of 3.
 B = int(os.environ.get("QPALM_BENCH_B", "512"))
 N_DIM = 64
 M_DIM = 96
@@ -201,6 +203,14 @@ def main_tpu():
         # fetches; each separate array costs an RPC round-trip)
         return jnp.concatenate([x, y], axis=1)
 
+    # Background fetch thread: np.asarray on a tunnel-resident array blocks
+    # for an RPC round-trip (measured 12-40 ms of pure latency at 0.33 MB
+    # even after copy_to_host_async) — waiting in a side thread overlaps
+    # that wait with the current round's host polish (the RPC wait releases
+    # the GIL).  One worker keeps fetch order deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
+
     def tpu_solve(k):
         r = fused_solve_jit(datas[k], zx, zy, s32)
         packed = _pack(r[0], r[1])
@@ -208,7 +218,10 @@ def main_tpu():
         # overlaps with the later rounds' device execution
         packed.copy_to_host_async()
         r[3].copy_to_host_async()
-        return packed, r[3]
+        fut = fetch_pool.submit(
+            lambda: (np.asarray(packed), np.asarray(r[3]))
+        )
+        return fut
 
     def host_polish(k, res):
         """Two-stage polish: one cheap round for the whole batch, then a
@@ -218,9 +231,10 @@ def main_tpu():
         core — same semantics (tests/test_polish.py::test_np_matches_jax),
         ~5x faster at this shape, which takes the polish off the
         pipeline's critical path."""
-        # one device_get for both arrays: each np.asarray on a TPU-resident
-        # array is a separate tunnel round-trip
-        xy = np.asarray(res[0])
+        # `res` is the already-fetched (xy, iters) pair from the fetch
+        # thread (one packed transfer per round; each extra array would
+        # cost its own tunnel round-trip)
+        xy = res[0]
         x32, y32 = xy[:, :n_pad], xy[:, n_pad:]
         # refine_steps=0: the 1e-9 KKT regularization error passes the
         # 1e-6 check without refinement (measured identical success
@@ -272,16 +286,16 @@ def main_tpu():
         return pol, ok, n_finished
 
     # ---- warm-up / compile (untimed) --------------------------------------
-    r0 = tpu_solve(0)
-    np.asarray(r0[0])
+    r0 = tpu_solve(0).result()
     host_polish(0, r0)  # warms numpy/LAPACK thread pools
 
     # ---- timed pipeline ---------------------------------------------------
     # dispatch TPU round k+1 before polishing round k on the host: the TPU
-    # executes remotely while the CPU polishes, so steady-state cost per
-    # round is max(t_tpu, t_polish), not the sum.  REPS repetitions over
-    # DISTINCT problem sets (the axon stack memoizes identical inputs);
-    # the MEDIAN rep is reported, all reps disclosed
+    # executes remotely while the CPU polishes (and the fetch thread waits
+    # out the transfer RPC), so steady-state cost per round is
+    # max(t_tpu, t_polish), not the sum.  REPS repetitions over DISTINCT
+    # problem sets (the axon stack memoizes identical inputs); the MEDIAN
+    # rep is reported, all reps disclosed
     def run_pipeline(base):
         t0 = time.perf_counter()
         oks = [None] * K_ROUNDS
@@ -290,9 +304,10 @@ def main_tpu():
         pending = tpu_solve(base)
         for k in range(K_ROUNDS):
             nxt = tpu_solve(base + k + 1) if k + 1 < K_ROUNDS else None
-            _, oks[k], nfin = host_polish(base + k, pending)
+            res = pending.result()
+            _, oks[k], nfin = host_polish(base + k, res)
             nfin_total += nfin
-            results[k] = pending
+            results[k] = res
             pending = nxt
         return time.perf_counter() - t0, oks, results, nfin_total
 
@@ -318,7 +333,7 @@ def main_tpu():
     peak = _PEAK_FLOPS.get(getattr(dev, "device_kind", ""), 197e12)
     executed_iters = 0
     for _, iters in results:
-        it = np.asarray(iters).reshape(-1, LANES)
+        it = iters.reshape(-1, LANES)
         executed_iters += int(it.max(axis=1).sum())
     tpu_flops = executed_iters * LANES * flops_per_lockstep_iter(
         n_pad, m_pad

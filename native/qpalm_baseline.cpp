@@ -430,6 +430,9 @@ class DenseQpalm {
       double alp[2] = {(y_[k] + sigma_[k] * (Ax_[k] - bmin_[k])) / ss,
                        (-y_[k] + sigma_[k] * (bmax_[k] - Ax_[k])) / ss};
       for (int t = 0; t < 2; ++t) {
+        // zero-delta breakpoints are constant in tau (no derivative
+        // contribution) and 0 * inf against an infinite bound is NaN
+        if (del[t] == 0.0) continue;
         double sv = alp[t] / del[t];
         bool l = sv > 0;           // IEEE: nan -> false, +-inf kept
         bool p = del[t] > 0;

@@ -27,6 +27,7 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 _DP = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_IP = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -60,6 +61,21 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),        # iter_out
         ctypes.POINTER(ctypes.c_double),     # obj_out
     ]
+    if hasattr(lib, "qpalm_sparse_baseline_solve"):
+        lib.qpalm_sparse_baseline_solve.restype = ctypes.c_int
+        lib.qpalm_sparse_baseline_solve.argtypes = [
+            ctypes.c_int, ctypes.c_int,          # n, m
+            _IP, _IP, _DP, ctypes.c_int,         # Qp, Qi, Qx, Qnnz
+            _IP, _IP, _DP, ctypes.c_int,         # Ap, Ai, Ax, Annz
+            _DP, _DP, _DP,                       # q, bmin, bmax
+            ctypes.c_double, ctypes.c_double,    # eps_abs, eps_rel
+            ctypes.c_int, ctypes.c_int,          # max_iter, scaling
+            ctypes.c_double,                     # delta
+            ctypes.c_int, ctypes.c_double,       # flags, time_limit
+            _DP, _DP,                            # x_out, y_out
+            ctypes.POINTER(ctypes.c_int),        # iter_out
+            ctypes.POINTER(ctypes.c_double),     # obj_out
+        ]
     _lib = lib
     return lib
 
@@ -87,6 +103,57 @@ def solve(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
     status = lib.qpalm_baseline_solve(
         n, m, Q, A, q, bmin, bmax, float(eps_abs), float(eps_rel),
         int(max_iter), int(scaling), float(delta),
+        x, y, ctypes.byref(it), ctypes.byref(obj),
+    )
+    return {
+        "status": int(status), "x": x, "y": y,
+        "iter": int(it.value), "objective": float(obj.value),
+    }
+
+
+def solve_sparse(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
+                 max_iter=50000, scaling=10, delta=100.0, rescue=False,
+                 time_limit=0.0):
+    """Solve one sparse QP with the native single-threaded sparse solver
+    (native/qpalm_sparse_baseline.cpp): reference C-QPALM semantics over a
+    sparse LDL' with AMD ordering, Schur form (the reference's CHOLMOD
+    backend class, solver_interface.c:72-74).  `Q`, `A` are scipy sparse
+    (any format); returns dict(status, x, y, iter, objective).
+
+    `rescue=False` is the reference-semantics BASELINE configuration used
+    for comparison columns; `rescue=True` enables the framework's
+    stagnation rescue (host_sparse.py twin) when this engine runs as the
+    framework's native host path.  `time_limit` (s): status -3 when hit.
+    """
+    import scipy.sparse as sp
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "qpalm_sparse_baseline_solve"):
+        raise RuntimeError("native sparse baseline unavailable")
+    Q = sp.csc_matrix(Q)
+    A = sp.csc_matrix(A)
+    Q.sort_indices()
+    A.sort_indices()
+    n = Q.shape[0]
+    m = A.shape[0]
+    q = np.ascontiguousarray(q, np.float64).ravel()
+    bmin = np.ascontiguousarray(bmin, np.float64).ravel()
+    bmax = np.ascontiguousarray(bmax, np.float64).ravel()
+    x = np.zeros(n)
+    y = np.zeros(m)
+    it = ctypes.c_int(0)
+    obj = ctypes.c_double(0.0)
+    status = lib.qpalm_sparse_baseline_solve(
+        n, m,
+        np.ascontiguousarray(Q.indptr, np.int32),
+        np.ascontiguousarray(Q.indices, np.int32),
+        np.ascontiguousarray(Q.data, np.float64), int(Q.nnz),
+        np.ascontiguousarray(A.indptr, np.int32),
+        np.ascontiguousarray(A.indices, np.int32),
+        np.ascontiguousarray(A.data, np.float64), int(A.nnz),
+        q, bmin, bmax, float(eps_abs), float(eps_rel),
+        int(max_iter), int(scaling), float(delta),
+        int(bool(rescue)), float(time_limit),
         x, y, ctypes.byref(it), ctypes.byref(obj),
     )
     return {

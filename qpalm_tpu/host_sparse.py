@@ -22,6 +22,7 @@ termination + infeasibility certificates termination.c:44-240.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -280,6 +281,8 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     nb_enter = nb_leave = 0
     no_change = 0
     it_out = prev_it = 0
+    best_pri_outer = np.inf
+    stall_outer = 0
     x_prev = x.copy()
     tQd = np.zeros(n)
     tAd = np.zeros(m)
@@ -332,7 +335,11 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
 
         if s.verbose:
             print(f"{it:6d} | {pri_norm:.6e} | {dua_norm:.6e} | "
-                  f"{tau:8.4f}")
+                  f"{tau:8.4f}"
+                  + (f" | out {it_out} sig [{sigma.min():.1e},"
+                     f"{sigma.max():.1e}] act {int(active.sum())} "
+                     f"+{nb_enter}/-{nb_leave} gam {gamma:.1e}"
+                     if os.environ.get("QPALM_DEBUG_SCHED") else ""))
         if pri_norm < eps_pri and dua_norm < eps_dua:
             status = C.QPALM_SOLVED
             y = yh
@@ -396,6 +403,27 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                 if np.any(new_sig != sigma):
                     sigma = new_sig
                     factor_valid = False
+            # ---- stagnation rescue (beyond-reference; see POWELL20 note
+            # in RESULTS_maros.md).  The reference boosts sigma only on
+            # rows that are ACTIVE and not shrinking (iteration.c:86-145),
+            # proportionally to their share of the max residual — on
+            # degenerate chains whose active set grows one row per outer
+            # iteration (POWELL20's cyclic differences), sigma crawls and
+            # the dual ascent stalls for thousands of iterations.  When the
+            # primal residual fails to halve across 5 consecutive outer
+            # updates, escalate sigma globally by delta: the dual step size
+            # grows exponentially under stall instead of linearly.
+            if it_out > 0:
+                if pri_norm < 0.5 * best_pri_outer:
+                    stall_outer = 0
+                else:
+                    stall_outer += 1
+                best_pri_outer = min(best_pri_outer, pri_norm)
+                if stall_outer >= 5 and pri_norm > eps_pri:
+                    sigma = np.minimum(sigma * s.delta, s.sigma_max)
+                    factor_valid = False
+                    stall_outer = 0
+                    best_pri_outer = pri_norm
             if outer_trigger:
                 y = yh
                 eps_abs_in = max(s.eps_abs, s.rho * eps_abs_in)

@@ -30,6 +30,7 @@ reference's KKT assembly, reference: src/solver_interface.c:145-169).
 from __future__ import annotations
 
 import functools
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
@@ -52,6 +53,24 @@ class PolishResult(NamedTuple):
 
 
 _DELTA_REG = 1e-9  # KKT regularization; removed by iterative refinement
+
+
+# Per-thread reusable K-buffer cache: the bench pipeline calls the polish
+# once per round with identical shapes, and np.zeros of a ~70 MB stack
+# costs ~10 ms/round in page faults alone.  Keyed by (shape, dtype); only
+# the previous buffer per thread is kept (shapes are stable within a run).
+_kbuf_local = threading.local()
+
+
+def _get_kbuf(shape, dtype):
+    """Uninitialized per-thread buffer; the caller must write every
+    element (build_K does).  Reused across calls of the same shape."""
+    cached = getattr(_kbuf_local, "buf", None)
+    if cached is not None and cached.shape == shape and cached.dtype == dtype:
+        return cached
+    buf = np.empty(shape, dtype)
+    _kbuf_local.buf = buf
+    return buf
 
 
 def _bkkt_lib():
@@ -326,13 +345,21 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
         Aact = Asub * wc[:, :, None].astype(Q.dtype)
         nk = n + mc
 
-        def build_K():
-            K = np.zeros((B, nk, nk), Q.dtype)
+        def build_K(fresh=False):
+            # every element of K is written below, so the reusable buffer
+            # can be handed out uninitialized.  `fresh=True` forces a new
+            # allocation — used for the per-lane rebuild after the factor
+            # destroyed the shared buffer in place (the healthy lanes'
+            # factors must survive for the refinement re-solves).
+            K = (np.empty((B, nk, nk), Q.dtype) if fresh
+                 else _get_kbuf((B, nk, nk), Q.dtype))
             K[:, :n, :n] = Q
             K[:, :n, n:] = Aact.transpose(0, 2, 1)
             K[:, n:, :n] = Aact
+            K22 = K[:, n:, n:]
+            K22[...] = 0.0
             dix = np.arange(mc)
-            K[:, n + dix, n + dix] = np.where(wc, -_DELTA_REG, 1.0)
+            K22[:, dix, dix] = np.where(wc, -_DELTA_REG, 1.0)
             return K
 
         K = build_K()
@@ -353,7 +380,7 @@ def _np_polish_chunk(Q, A, q, bmin, bmax, c, x0, y0,
                     # per-lane fallback: the factor destroyed the failed
                     # lanes' K in place — rebuild just those and LU-solve
                     # them; healthy lanes keep their BK factors
-                    K_bad = build_K()[bad]
+                    K_bad = build_K(fresh=True)[bad]
                     sol_n[bad] = _np_solve_or_nan(
                         K_bad, rhs[bad, :, None])[:, :, 0]
                 sol = sol_n
@@ -478,20 +505,34 @@ def polish_batch_np(
              x0[a:b], y0[a:b], eps_abs, eps_rel, act_tol, rounds,
              refine_steps, compress)
             for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-    if len(args) == 1:
-        parts = [_np_polish_chunk(*args[0])]
-    else:
-        # one BLAS thread per pool worker: the chunks already use every
-        # core, so OpenBLAS threading inside dsytrf/gesv on top is pure
-        # oversubscription (measured 3.3x slower on the lasso shape:
-        # 0.48 s vs 0.15 s at B=512, nk~150, 4 cores)
-        try:
-            from threadpoolctl import threadpool_limits
-        except ImportError:  # pragma: no cover - baked into this env
-            import contextlib
-            threadpool_limits = lambda limits: contextlib.nullcontext()
-        with threadpool_limits(limits=1):
-            with ThreadPoolExecutor(max_workers=len(args)) as pool:
-                parts = list(pool.map(lambda t: _np_polish_chunk(*t), args))
+    # one BLAS thread everywhere: the chunks already use every core, so
+    # OpenBLAS threading inside dsytrf/gesv on top is pure oversubscription
+    # (measured 3.3x slower on the lasso shape: 0.48 s vs 0.15 s at B=512,
+    # nk~150, 4 cores).  This applies to the single-chunk path too — the
+    # per-lane LAPACK calls are far too small for threaded BLAS, and the
+    # thread-sync overhead dominated the bench retry pass (22 ms for 10
+    # lanes before; ~3 ms after).
+    try:
+        from threadpoolctl import threadpool_limits
+    except ImportError:  # pragma: no cover - baked into this env
+        import contextlib
+        threadpool_limits = lambda limits: contextlib.nullcontext()
+    with threadpool_limits(limits=1):
+        if len(args) == 1:
+            parts = [_np_polish_chunk(*args[0])]
+        else:
+            parts = list(_polish_pool().map(
+                lambda t: _np_polish_chunk(*t), args))
     return PolishResult(*(np.concatenate([getattr(p, f) for p in parts])
                           for f in PolishResult._fields))
+
+
+_pool_holder = []
+
+
+def _polish_pool():
+    """Persistent worker pool (spawning a fresh ThreadPoolExecutor per call
+    costs ~1 ms and defeats the per-thread K-buffer reuse)."""
+    if not _pool_holder:
+        _pool_holder.append(ThreadPoolExecutor(max_workers=8))
+    return _pool_holder[0]
