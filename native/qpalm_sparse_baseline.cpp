@@ -71,6 +71,8 @@ struct Settings {
   // delta.  Off (0) when this solver acts as the baseline comparator.
   int rescue = 0;
   double time_limit = 0.0;  // seconds; 0 = unlimited
+  double eps_prim_inf = 1e-5;  // reference: constants.h EPS_PRIM_INF
+  double eps_dual_inf = 1e-5;
 };
 
 inline double norm_inf(const double *v, int k) {
@@ -127,12 +129,19 @@ class SparseQpalm {
     x_.assign(n, 0.0);
     y_.assign(m, 0.0);
     x0_ = x_;
+    x_prev_ = x_;
     Qx_.assign(n, 0.0);
     Ax_.assign(m, 0.0);
     active_.assign(m, 0);
     active_old_.assign(m, 0);
     sigma_.assign(m, 0.0);
     bp_.resize(2 * (size_t)m);
+    tAd_.assign(m, 0.0);
+    tQd_pure_.assign(n, 0.0);
+    tmpm_cert_.resize(m);
+    tmpn_cert_.resize(n);
+    cert_dy_.assign(m, 0.0);
+    cert_dx_.assign(n, 0.0);
   }
 
   ~SparseQpalm() {
@@ -161,7 +170,7 @@ class SparseQpalm {
         std::chrono::duration<double> el =
             std::chrono::steady_clock::now() - t_start;
         if (el.count() > s_.time_limit) {
-          status = -3;
+          status = -5;  // QPALM_TIME_LIMIT_REACHED (constants.h)
           break;
         }
       }
@@ -207,6 +216,63 @@ class SparseQpalm {
         status = 1;
         y_ = yh;
         break;
+      }
+      // ---- infeasibility certificates (termination.c:136-240) ----
+      {
+        double edy_n = 0.0;
+        for (int k = 0; k < m_; ++k)
+          edy_n = std::max(edy_n, std::abs(E_[k] * (yh[k] - y_[k])));
+        double eps_p = s_.eps_prim_inf * edy_n;
+        if (eps_p > 0.0) {
+          for (int k = 0; k < m_; ++k) tmpm_cert_[k] = yh[k] - y_[k];
+          mat_tvec(tmpm_cert_.data(), tmpn_cert_.data());
+          double atdy_n = 0.0;
+          for (int i = 0; i < n_; ++i)
+            atdy_n = std::max(atdy_n, std::abs(tmpn_cert_[i] / D_[i]));
+          double oob = 0.0;
+          for (int k = 0; k < m_; ++k) {
+            double dy = tmpm_cert_[k];
+            if (bmax_[k] < kInfty && dy > 0.0) oob += bmax_[k] * dy;
+            if (bmin_[k] > -kInfty && dy < 0.0) oob += bmin_[k] * dy;
+          }
+          if (atdy_n <= eps_p && oob <= -eps_p) {
+            status = -3;  // QPALM_PRIMAL_INFEASIBLE
+            // unscaled certificate delta_y = E (dy / c) (host_sparse twin)
+            for (int k = 0; k < m_; ++k)
+              cert_dy_[k] = E_[k] * (tmpm_cert_[k] / c_);
+            y_ = yh;
+            break;
+          }
+        }
+        double ddx_n = 0.0;
+        for (int i = 0; i < n_; ++i)
+          ddx_n = std::max(ddx_n, std::abs(D_[i] * (x_[i] - x_prev_[i])));
+        double eps_d = s_.eps_dual_inf * ddx_n;
+        if (eps_d > 0.0) {
+          bool viol = false;
+          for (int k = 0; k < m_ && !viol; ++k) {
+            double adx = tAd_[k] / E_[k];
+            viol = (bmax_[k] < kInfty && adx >= eps_d) ||
+                   (bmin_[k] > -kInfty && adx <= -eps_d);
+          }
+          double dxQdx = 0.0, dxdx = 0.0, qdx = 0.0;
+          for (int i = 0; i < n_; ++i) {
+            double dx = x_[i] - x_prev_[i];
+            dxQdx += dx * tQd_pure_[i];
+            dxdx += (D_[i] * dx) * (D_[i] * dx);
+            qdx += q_[i] * dx;
+          }
+          double e2 = s_.eps_dual_inf * s_.eps_dual_inf;
+          double cs = s_.scaling ? c_ : 1.0;
+          bool curv = dxQdx <= -cs * e2 * dxdx ||
+                      (dxQdx <= cs * e2 * dxdx && qdx <= -cs * eps_d);
+          if (!viol && curv) {
+            status = -4;  // QPALM_DUAL_INFEASIBLE
+            for (int i = 0; i < n_; ++i)
+              cert_dx_[i] = D_[i] * (x_[i] - x_prev_[i]);
+            break;
+          }
+        }
       }
       bool subproblem_done = dua2_norm <= eps_dua_in;
       bool outer_trigger = subproblem_done || no_change == 3;
@@ -286,15 +352,23 @@ class SparseQpalm {
         for (int i = 0; i < n_; ++i) d[i] = -dphi[i];
         ldl_solve_perm(d.data());
         symv(Qd.data(), d.data());
+        // pure Q d (no proximal term) for the dual-infeasibility curvature
+        // test — immune to later gamma updates (host_sparse.py twin)
+        for (int i = 0; i < n_; ++i) tQd_pure_[i] = Qd[i];
         if (s_.proximal)
           for (int i = 0; i < n_; ++i) Qd[i] += d[i] / gamma_;
         mat_vec(d.data(), Ad.data());
         double tau = linesearch(d.data(), Qd.data(), Ad.data(), df.data());
+        x_prev_ = x_;
         for (int i = 0; i < n_; ++i) {
           x_[i] += tau * d[i];
           Qx_[i] += tau * Qd[i];
+          tQd_pure_[i] *= tau;
         }
-        for (int k = 0; k < m_; ++k) Ax_[k] += tau * Ad[k];
+        for (int k = 0; k < m_; ++k) {
+          Ax_[k] += tau * Ad[k];
+          tAd_[k] = tau * Ad[k];
+        }
       }
     }
     for (int i = 0; i < n_; ++i) x_out[i] = D_[i] * x_[i];
@@ -665,7 +739,13 @@ class SparseQpalm {
   std::vector<int> perm_, iperm_, qmap_, amap_, amap_p_, diag_pos_;
   std::vector<double> amap_v_;
   void *ldl_ = nullptr;
-  std::vector<double> x_, y_, x0_, Qx_, Ax_, sigma_, pri_res_in_;
+  std::vector<double> x_, y_, x0_, x_prev_, Qx_, Ax_, sigma_, pri_res_in_;
+  std::vector<double> tAd_, tQd_pure_, tmpm_cert_, tmpn_cert_;
+
+ public:
+  std::vector<double> cert_dy_, cert_dx_;
+
+ private:
   std::vector<int> active_, active_old_;
   std::vector<Bp> bp_;
   double gamma_ = 1e7, eps_abs_in_ = 1.0, eps_rel_in_ = 1.0;
@@ -693,7 +773,8 @@ int qpalm_sparse_baseline_solve(int n, int m, const int *Qp, const int *Qi,
                                 double eps_rel, int max_iter, int scaling,
                                 double delta, int flags, double time_limit,
                                 double *x_out, double *y_out,
-                                int *iter_out, double *obj_out) {
+                                int *iter_out, double *obj_out,
+                                double *dy_out, double *dx_out) {
   try {
     Settings s;
     s.eps_abs = eps_abs;
@@ -705,7 +786,12 @@ int qpalm_sparse_baseline_solve(int n, int m, const int *Qp, const int *Qi,
     s.time_limit = time_limit;
     SparseQpalm solver(n, m, Qp, Qi, Qx, Qnnz, Ap, Ai, Axv, Annz, q, bmin,
                        bmax, s);
-    return solver.solve(x_out, y_out, iter_out, obj_out);
+    int st = solver.solve(x_out, y_out, iter_out, obj_out);
+    if (dy_out)
+      std::copy(solver.cert_dy_.begin(), solver.cert_dy_.end(), dy_out);
+    if (dx_out)
+      std::copy(solver.cert_dx_.begin(), solver.cert_dx_.end(), dx_out);
+    return st;
   } catch (...) {
     return 0;
   }

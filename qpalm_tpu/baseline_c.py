@@ -75,6 +75,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             _DP, _DP,                            # x_out, y_out
             ctypes.POINTER(ctypes.c_int),        # iter_out
             ctypes.POINTER(ctypes.c_double),     # obj_out
+            _DP, _DP,                            # dy_out, dx_out (certs)
         ]
     _lib = lib
     return lib
@@ -141,6 +142,8 @@ def solve_sparse(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
     bmax = np.ascontiguousarray(bmax, np.float64).ravel()
     x = np.zeros(n)
     y = np.zeros(m)
+    dy = np.zeros(m)
+    dx = np.zeros(n)
     it = ctypes.c_int(0)
     obj = ctypes.c_double(0.0)
     status = lib.qpalm_sparse_baseline_solve(
@@ -154,9 +157,12 @@ def solve_sparse(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
         q, bmin, bmax, float(eps_abs), float(eps_rel),
         int(max_iter), int(scaling), float(delta),
         int(bool(rescue)), float(time_limit),
-        x, y, ctypes.byref(it), ctypes.byref(obj),
+        x, y, ctypes.byref(it), ctypes.byref(obj), dy, dx,
     )
+    status = int(status)
     return {
-        "status": int(status), "x": x, "y": y,
+        "status": status, "x": x, "y": y,
         "iter": int(it.value), "objective": float(obj.value),
+        "delta_y": dy if status == -3 else None,
+        "delta_x": dx if status == -4 else None,
     }

@@ -756,6 +756,64 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     return results
 
 
+def _native_engine_ok(s: Settings) -> bool:
+    """True when every knob the native C engine hard-codes is at its
+    reference default, so routing to it cannot change semantics.  The C
+    engine receives eps_abs/eps_rel/max_iter/scaling/delta/time_limit and
+    implements the framework stagnation rescue; everything else must match
+    the reference defaults compiled into it."""
+    from . import constants as C2
+    d = Settings()
+    fixed = ("eps_abs_in", "eps_rel_in", "rho", "theta", "sigma_max",
+             "sigma_init", "proximal", "gamma_init", "gamma_upd",
+             "gamma_max", "nonconvex", "inner_max_iter", "eps_prim_inf",
+             "eps_dual_inf", "enable_dual_termination", "dtype")
+    if any(getattr(s, f) != getattr(d, f) for f in fixed):
+        return False
+    if s.verbose:
+        return False  # the C loop has no iteration printer
+    return s.factorization_method in (C2.FACTORIZE_SCHUR,
+                                      C2.FACTORIZE_KKT_OR_SCHUR)
+
+
+def _solve_native_engine(Qc, Ac, q, bmin, bmax, s: Settings,
+                         c: float) -> Optional[HostResult]:
+    """Run the native C sparse engine (framework mode: rescue on) and wrap
+    its result as a HostResult.  Returns None when the library is absent
+    or the engine reports an internal error (callers fall through to the
+    Python path)."""
+    from . import baseline_c
+    from . import constants as C2
+
+    lib = baseline_c.load_library()
+    if lib is None or not hasattr(lib, "qpalm_sparse_baseline_solve"):
+        return None
+    tl = s.time_limit if s.time_limit < C.QPALM_INFTY else 0.0
+    try:
+        r = baseline_c.solve_sparse(
+            Qc, Ac, np.asarray(q, np.float64),
+            np.asarray(bmin, np.float64), np.asarray(bmax, np.float64),
+            eps_abs=s.eps_abs, eps_rel=s.eps_rel, max_iter=s.max_iter,
+            scaling=s.scaling, delta=s.delta, rescue=True, time_limit=tl)
+    except Exception:
+        return None
+    if r["status"] == 0:
+        return None  # internal error: fall through to the Python path
+    x, y = r["x"], r["y"]
+    Ax = Ac @ x
+    z = np.clip(Ax, np.maximum(bmin, -C.QPALM_INFTY),
+                np.minimum(bmax, C.QPALM_INFTY))
+    pri = _norm_inf(Ax - z) if Ax.size else 0.0
+    dua = _norm_inf(Qc @ x + np.asarray(q) + Ac.T @ y)
+    return HostResult(
+        x=x, y=y, status=int(r["status"]),
+        status_str=C2.STATUS_STRINGS.get(int(r["status"]), "unknown"),
+        iterations=int(r["iter"]), objective=float(r["objective"]) + c,
+        pri_res_norm=pri, dua_res_norm=dua,
+        delta_y=r.get("delta_y"), delta_x=r.get("delta_x"),
+    )
+
+
 def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
                       = None, c: float = 0.0, x0=None, y0=None,
                       fill_ratio: float = 30.0,
@@ -810,6 +868,20 @@ def solve_sparse_auto(Q, A, q, bmin, bmax, settings: Optional[Settings]
                               and est_flops <= direct_flop_budget))
         except Exception:
             use_direct = False
+            supernodal = False
+        # Native C engine fast path: for light-fill patterns (scalar LDL
+        # territory) the per-iteration cost is dominated by the Python
+        # loop, not the factorization — the C twin of this solver
+        # (native/qpalm_sparse_baseline.cpp, rescue=True) runs the same
+        # schedule ~10-20x faster (POWELL20 n=1000: 24 ms vs 520 ms;
+        # iteration-parity asserted in tests/test_sparse_baseline.py).
+        # Only taken when every Settings knob the C engine hard-codes is
+        # at its reference default and no warm start is requested.
+        if (use_direct and not supernodal and x0 is None and y0 is None
+                and _native_engine_ok(settings)):
+            r = _solve_native_engine(Qc, Ac, q, bmin, bmax, settings, c)
+            if r is not None:
+                return r
     if use_direct:
         return solve_sparse_direct(Qc, Ac, q, bmin, bmax, settings, c=c,
                                    x0=x0, y0=y0)

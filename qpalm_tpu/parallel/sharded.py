@@ -113,15 +113,19 @@ def solve_batch_sharded(
             # (benchmarks/RESULTS_scaling_multiproc.md).
             nd = mesh.shape[axis_name]
             slot = jax.lax.axis_index(axis_name)
+            # pack in the widest participating dtype: down-casting x64
+            # iteration sums through int32 could silently overflow on very
+            # large per-device batches (the one-hot max itself is exact)
+            pdt = jnp.promote_types(total_iters.dtype, jnp.int32)
             onehot_max = jnp.where(
-                jnp.arange(nd, dtype=jnp.int32) == slot,
-                max_iters.astype(jnp.int32), 0)
+                jnp.arange(nd, dtype=pdt) == slot,
+                max_iters.astype(pdt), jnp.zeros((), pdt))
             packed = jnp.concatenate([
-                jnp.stack([n_solved, total_iters.astype(jnp.int32)]),
+                jnp.stack([n_solved.astype(pdt), total_iters.astype(pdt)]),
                 onehot_max,
             ])
             packed = jax.lax.psum(packed, axis_name)
-            n_solved = packed[0]
+            n_solved = packed[0].astype(jnp.int32)
             total_iters = packed[1].astype(total_iters.dtype)
             max_iters = jnp.max(packed[2:]).astype(max_iters.dtype)
         else:

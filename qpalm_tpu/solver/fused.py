@@ -82,7 +82,7 @@ def _row_chunk(n: int) -> int:
     return rch
 
 
-def pick_qa_panel(n_pad: int, m_pad: int) -> int:
+def pick_qa_panel(n_pad: int, m_pad: int, alias: bool = None) -> int:
     """Fused-kernel memory plan for a padded (n, m) shape.
 
     Returns 0 when the whole working set (Q, A, M scratch, state) fits the
@@ -99,8 +99,12 @@ def pick_qa_panel(n_pad: int, m_pad: int) -> int:
             continue
         # vector-state footprint: the aliased tier shares in/out buffers
         # (12n + 13m rows); the no-alias tier past ALIAS_WALL doubles the
-        # 8 n-row and 7 m-row state leaves (20n + 20m rows)
-        if n_pad <= ALIAS_WALL:
+        # 8 n-row and 7 m-row state leaves (20n + 20m rows).  `alias=None`
+        # derives the tier from the wall; fused_chunk passes its EFFECTIVE
+        # alias choice so a forced alias=False below the wall is budgeted
+        # against the doubled no-alias footprint it actually uses.
+        eff_alias = (n_pad <= ALIAS_WALL) if alias is None else alias
+        if eff_alias:
             vec_rows = 12 * n_pad + 13 * m_pad
         else:
             vec_rows = 20 * n_pad + 20 * m_pad
@@ -947,10 +951,10 @@ def fused_chunk(data_t, scal_t, st: FusedState, T: int, settings: Settings,
     n, _, B = Q.shape
     m = A.shape[0]
     assert B % LANES == 0, B
-    if qa_panel == -2:
-        qa_panel = pick_qa_panel(n, m)
-    assert qa_panel >= 0, (n, m, qa_panel)
     alias = alias and n <= ALIAS_WALL
+    if qa_panel == -2:
+        qa_panel = pick_qa_panel(n, m, alias=alias)
+    assert qa_panel >= 0, (n, m, qa_panel)
     kernel = _make_kernel(n, m, T, settings, qa_panel, alias)
 
     def spec(rows):

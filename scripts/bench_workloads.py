@@ -36,12 +36,12 @@ def main():
                     help="override the per-config batch size (0 = use the "
                          "size-adaptive schedule)")
     ap.add_argument("--baseline-sample", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3,
+    ap.add_argument("--reps", type=int, default=5,
                     help="timed pipeline repetitions per config (distinct "
                          "perturbed problem sets; median reported).  The "
                          "tunnel's ambient RPC latency drifts up to 3x "
-                         "WITHIN a sweep, so 5 reps give a much more "
-                         "stable median than 3.")
+                         "WITHIN a sweep, so the default matches the "
+                         "committed RESULTS_workloads methodology (5).")
     args = ap.parse_args()
 
     import jax
@@ -70,10 +70,8 @@ def main():
             return args.batch
         if n <= 20:
             return 2048
-        if n <= 40:
-            return 1024
         if n <= 80:
-            return 512
+            return 1024
         if n <= 100:
             return 256
         return 128
@@ -94,14 +92,12 @@ def main():
     for family, gen, sizes in families:
         for n in sizes:
             probe = gen(n, 0)
+            # the n<=80 -> B=1024 step of bsize() folds in the lasso(20)
+            # B ladder (512 -> 1409, 1024 -> 1638, 2048 -> 991 solves/s,
+            # 2026-08-20): mid-size shapes amortize dispatch/RPC at 1024
+            # until host-split + polish pressure bites at 2048.  One
+            # schedule for every row — no per-row overrides (ADVICE r4).
             nb = bsize(probe[0].shape[0])
-            if not args.batch and (family, n) == ("lasso", 20):
-                # the lasso(20) shape (n=80, m=4n) is the one sweep row
-                # that sat near the C baseline; measured B ladder
-                # (2026-08-20): 512 -> 1409, 1024 -> 1638, 2048 -> 991
-                # solves/s — the bigger batch amortizes dispatch/RPC
-                # until the host split + polish pressure at 2048
-                nb = 1024
             configs.append(
                 (family, f"n={n}", [gen(n, i) for i in range(nb)]))
 

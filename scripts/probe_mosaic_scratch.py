@@ -19,8 +19,11 @@ the bare 32 MB scratch, the DMA sweep + chunked rank-1 assembly at
 full solver kernel's n=256 corruption is NOT raw VMEM pressure and NOT
 the assembly/DMA primitives in isolation; it requires the full kernel's
 structure (24 operands, 16 input/output aliases, several sweeps per
-iteration inside the T-loop).  The admission wall therefore stays at
-the empirically validated n_pad=224 (pick_qa_panel).
+iteration inside the T-loop).  Round 4 then bisected the corruption to
+the input_output_aliases themselves: the aliased tier is admitted to
+ALIAS_WALL=224 and the alias-FREE program extends the wall to
+STREAM_WALL=352 (both hardware-validated; see pick_qa_panel's two-tier
+gate and scripts/probe_n256.py).
 """
 import functools
 import sys

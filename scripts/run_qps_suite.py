@@ -82,6 +82,14 @@ def main(argv=None):
     ap.add_argument("--json", default=None)
     ap.add_argument("--markdown", default=None,
                     help="write the per-problem results table to this file")
+    ap.add_argument("--baseline", action="store_true",
+                    help="also run the native single-threaded sparse "
+                         "baseline (reference C-QPALM semantics, "
+                         "native/qpalm_sparse_baseline.cpp) on every "
+                         "sparse-routed problem and report a wall-clock "
+                         "comparison column")
+    ap.add_argument("--baseline-time-limit", type=float, default=1200.0,
+                    help="per-problem wall-clock cap for the baseline (s)")
     args = ap.parse_args(argv)
 
     import jax
@@ -178,15 +186,41 @@ def main(argv=None):
             t_total += dt
             ok, pri, dua = kkt_certify(p.Q, p.A, p.q, p.bmin, p.bmax,
                                        r.x, r.y, args.eps)
-            results.append({
+            row = {
                 "name": p.name, "n": p.n, "m": p.m, "status": int(r.status),
                 "iter": int(r.iterations), "objective": float(r.objective),
                 "time_s": dt, "kkt": bool(ok), "route": "sparse",
-            })
+            }
+            if args.baseline:
+                from qpalm_tpu import baseline_c
+                t0 = time.perf_counter()
+                try:
+                    rb = baseline_c.solve_sparse(
+                        p.Q, p.A, p.q, p.bmin, p.bmax, eps_abs=args.eps,
+                        eps_rel=args.eps, max_iter=10 ** 9,
+                        scaling=10, rescue=False,
+                        time_limit=args.baseline_time_limit)
+                    row["baseline_time_s"] = time.perf_counter() - t0
+                    row["baseline_iter"] = rb["iter"]
+                    row["baseline_status"] = rb["status"]
+                    if rb["status"] == 1:
+                        okb, _, _ = kkt_certify(
+                            p.Q, p.A, p.q, p.bmin, p.bmax, rb["x"],
+                            rb["y"], args.eps)
+                        row["baseline_kkt"] = bool(okb)
+                except Exception as e:  # missing lib / native error
+                    row["baseline_status"] = 0
+                    row["baseline_error"] = str(e)
+            results.append(row)
+            base = ""
+            if "baseline_time_s" in row:
+                base = (f" | base {row['baseline_time_s']:.2f}s "
+                        f"it={row['baseline_iter']} "
+                        f"st={row['baseline_status']}")
             print(f"sparse {p.name}: n={p.n} m={p.m} "
                   f"status={r.status_str} iter={r.iterations} "
                   f"obj={r.objective:.6e} kkt={'y' if ok else 'N'} "
-                  f"{dt:.2f}s", flush=True)
+                  f"{dt:.2f}s{base}", flush=True)
 
     def expected_status(name):
         """Infeasible instances encode their expected certificate status in
@@ -224,17 +258,34 @@ def main(argv=None):
                     f"test_maros_meszaros.m:43-47 / sample_settings.txt).\n"
                     f"`expected` encodes the certificate status infeasible "
                     f"instances must return.\n\n")
+            has_base = any("baseline_time_s" in r or
+                           "baseline_status" in r for r in results)
+            bh = ("| base iter | base time (s) | speedup "
+                  if has_base else "")
+            bsep = "|---|---|---|" if has_base else ""
             f.write("| name | n | m | status | expected | iter | objective "
-                    "| kkt | time (s) | ok |\n"
-                    "|---|---|---|---|---|---|---|---|---|---|\n")
+                    f"| kkt | time (s) {bh}| ok |\n"
+                    f"|---|---|---|---|---|---|---|---|---{bsep}|\n")
             for r in results:
+                bcols = ""
+                if has_base:
+                    if "baseline_time_s" in r:
+                        sp = r["baseline_time_s"] / max(r.get("time_s",
+                                                              1e-9), 1e-9)
+                        st = r.get("baseline_status")
+                        mark = "" if st == 1 else f" (status {st})"
+                        bcols = (f"| {r.get('baseline_iter', '-')} "
+                                 f"| {r['baseline_time_s']:.2f}{mark} "
+                                 f"| {sp:.1f}x ")
+                    else:
+                        bcols = "| - | - | - "
                 f.write(
                     f"| {r['name']} | {r['n']} | {r['m']} | {r['status']} "
                     f"| {r['expected']} | {r['iter']} "
                     f"| {r['objective']:.6e} "
                     f"| {'yes' if r.get('kkt') else '-'} "
                     f"| {r.get('time_s', 0.0):.2f} "
-                    f"| {'yes' if r['correct'] else 'NO'} |\n"
+                    f"{bcols}| {'yes' if r['correct'] else 'NO'} |\n"
                 )
             f.write(f"\n**correct {n_correct}/{len(results)}** in "
                     f"{t_total:.2f}s total solve time.\n")

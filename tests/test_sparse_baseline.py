@@ -120,4 +120,18 @@ def test_time_limit():
     A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
     r = baseline_c.solve_sparse(sp.eye(n, format="csc"), A, np.zeros(n),
                                 rhs, np.full(n, np.inf), time_limit=1e-4)
+    assert r["status"] == -5  # QPALM_TIME_LIMIT_REACHED
+
+
+def test_infeasibility_certificates():
+    # primal infeasible: x >= 1 and x <= 0
+    r = baseline_c.solve_sparse(
+        sp.csc_matrix(np.array([[1.0]])),
+        sp.csc_matrix(np.array([[1.0], [1.0]])), np.zeros(1),
+        np.array([1.0, -np.inf]), np.array([np.inf, 0.0]))
     assert r["status"] == -3
+    # dual infeasible: min -x, x free
+    r2 = baseline_c.solve_sparse(
+        sp.csc_matrix(np.zeros((1, 1))), sp.csc_matrix(np.zeros((1, 1))),
+        np.array([-1.0]), np.array([-np.inf]), np.array([np.inf]))
+    assert r2["status"] == -4
