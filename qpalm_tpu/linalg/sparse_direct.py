@@ -32,6 +32,7 @@ _lib_tried = False
 
 _IP = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _DP = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_FP = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
 _lib_lock = threading.Lock()
@@ -116,6 +117,13 @@ def _bind_symbols(lib) -> None:
     lib.bkkt_resolve.restype = ctypes.c_int
     lib.bkkt_resolve.argtypes = [ctypes.c_int, ctypes.c_int, _DP, _IP,
                                  _DP, _IP]
+    if hasattr(lib, "bkkt_factor_solve_f32"):
+        lib.bkkt_factor_solve_f32.restype = ctypes.c_int
+        lib.bkkt_factor_solve_f32.argtypes = [
+            ctypes.c_int, ctypes.c_int, _DP, _FP, _IP, _DP, _IP]
+        lib.bkkt_resolve_f32.restype = ctypes.c_int
+        lib.bkkt_resolve_f32.argtypes = [
+            ctypes.c_int, ctypes.c_int, _FP, _IP, _DP, _IP]
 
 
 def _point_at_fast_blas(lib) -> None:

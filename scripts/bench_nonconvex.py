@@ -101,31 +101,87 @@ def main():
     rows = []
 
     # ---- device batched BOXQP-d ------------------------------------------
+    # VERDICT r4 directive #5: every device lane is brought to the SAME
+    # 1e-6 f64 certification contract as the convex tables — f32 pass,
+    # then the f64 active-set polish (at a gamma-pinned stationary point
+    # the local subproblem is convex, so the equality-KKT polish step is
+    # justified; the stationarity check gates every lane regardless), then
+    # an f64 re-solve + re-polish of the lanes that fail.  Phase times are
+    # disclosed per row (pass / polish / rescue) so the throughput is
+    # attributable.
+    import jax as _jax
+
+    from qpalm_tpu.batch import stack_problems
+    from qpalm_tpu.polish import polish_batch_np
+
+    cpu = _jax.devices("cpu")[0]
     for n, B in ((16, 512), (32, 512), (64, 256)):
         s32 = Settings(dtype="float32", nonconvex=True, eps_abs=1e-4,
                        eps_rel=1e-4, max_iter=400, scaling=2, max_refine=0,
                        verbose=False)
-        times, cert, esc_n, sol = [], 0, 0, 0
+        s64 = Settings(nonconvex=True, eps_abs=1e-6, eps_rel=1e-6,
+                       max_iter=4000, scaling=2, verbose=False)
+        times, t_pass_l, t_pol_l, t_esc_l = [], [], [], []
+        cert = sol = esc_n = 0
         for rep in range(REPS):
             probs = [boxqp(n, seed=1000 * n + rep * B + i) for i in range(B)]
             if rep == 0:  # compile outside the timed region
-                solve_batch_escalate(probs, s32)
+                solve_batch(probs, s32)
             t0 = time.perf_counter()
-            res = solve_batch_escalate(probs, s32)
-            st = np.asarray(res.status)
-            times.append(time.perf_counter() - t0)
+            res = solve_batch(probs, s32)
+            xy = np.concatenate(
+                [np.asarray(res.x), np.asarray(res.y)], axis=1)
+            t_pass = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            with _jax.default_device(cpu):
+                d64 = _jax.tree.map(np.asarray,
+                                    stack_problems(probs, np.float64))
+            n_pad = d64.q.shape[1]
+            pol = polish_batch_np(d64, xy[:, :n_pad], xy[:, n_pad:],
+                                  eps_abs=1e-6, eps_rel=1e-6, rounds=2)
+            ok = np.asarray(pol.ok)
+            x64, y64 = np.asarray(pol.x), np.asarray(pol.y)
+            t_pol = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            bad = np.where(~ok)[0]
+            if len(bad):
+                with _jax.default_device(cpu):
+                    res2 = solve_batch([probs[i] for i in bad], s64)
+                sub = _jax.tree.map(lambda a: a[bad], d64)
+                # homogeneous batch: the rescue solve pads identically
+                pol2 = polish_batch_np(
+                    sub, np.asarray(res2.x), np.asarray(res2.y),
+                    eps_abs=1e-6, eps_rel=1e-6, rounds=2)
+                ok[bad] = np.asarray(pol2.ok)
+                x64[bad] = np.asarray(pol2.x)
+                y64[bad] = np.asarray(pol2.y)
+            t_esc = time.perf_counter() - t0
+            times.append(t_pass + t_pol + t_esc)
+            t_pass_l.append(t_pass)
+            t_pol_l.append(t_pol)
+            t_esc_l.append(t_esc)
             if rep == 0:
-                x, y = np.asarray(res.x), np.asarray(res.y)
+                esc_n = len(bad)
+                # final authority: the independent f64 stationarity check
+                # at the convex-table eps on the polished iterates
                 for i, p in enumerate(probs):
                     ni, mi = p[0].shape[0], p[1].shape[0]
                     cert += int(stationarity_ok(
-                        p[0], p[1], p[2], p[3], p[4], x[i][:ni], y[i][:mi],
-                        eps=1e-3))  # f32-pass lanes certify at f32 scale
-                sol = int((st == 1).sum())
-        row = {"family": "BOXQP-d", "n": n, "B": B, "path": "device "
-               "f32+f64esc", "solved": f"{sol}/{B}",
+                        p[0], p[1], p[2], p[3], p[4], x64[i][:ni],
+                        y64[i][:mi], eps=1e-6))
+                sol = int((np.asarray(res.status) == 1).sum())
+        row = {"family": "BOXQP-d", "n": n, "B": B,
+               "path": "device f32+polish+f64esc",
+               "solved": f"{sol}/{B}",
                "stationary_certified": f"{cert}/{B}",
+               "certify_eps": 1e-6,
+               "escalated_lanes": esc_n,
                "time_s": round(float(np.median(times)), 3),
+               "t_pass_s": round(float(np.median(t_pass_l)), 3),
+               "t_polish_s": round(float(np.median(t_pol_l)), 3),
+               "t_rescue_s": round(float(np.median(t_esc_l)), 3),
                "solves_per_s": round(B / float(np.median(times)), 1)}
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -160,20 +216,26 @@ def main():
         "STATIONARITY-certified in f64 on the unscaled problem (primal",
         "feasibility + gradient of the Lagrangian + complementarity) —",
         "the strongest per-solve claim available for nonconvex QPs.",
-        "Device rows: f32 batch pass (fused kernel where eligible) +",
-        "f64 escalation of unsolved lanes; certification at the f32 pass",
-        "scale (1e-3).  Host rows: sparse-direct LDL' f64 at eps 1e-6,",
-        "certified at 1e-5.  Median of 3 perturbed instance sets.",
+        "Device rows (VERDICT r4 #5): f32 batch pass, then the f64",
+        "active-set polish brings EVERY lane to the same 1e-6 f64",
+        "certification contract as the convex tables; lanes failing the",
+        "polish check are re-solved in f64 and re-polished.  Phase times",
+        "(pass / polish / rescue) are disclosed per row.  Host rows:",
+        "sparse-direct LDL' f64 at eps 1e-6, certified at 1e-5.",
+        "Median of 3 perturbed instance sets.",
         "",
         "| family | n | batch | path | solved | stationary certified |"
-        " time (s) | solves/s |",
-        "|---|---|---|---|---|---|---|---|",
+        " esc lanes | time (s) | pass | polish | rescue | solves/s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['family']} | {r['n']} | {r['B']} | {r['path']} "
             f"| {r['solved']} | {r['stationary_certified']} "
-            f"| {r['time_s']} | {r['solves_per_s']} |")
+            f"| {r.get('escalated_lanes', '-')} "
+            f"| {r['time_s']} | {r.get('t_pass_s', '-')} "
+            f"| {r.get('t_polish_s', '-')} | {r.get('t_rescue_s', '-')} "
+            f"| {r['solves_per_s']} |")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")

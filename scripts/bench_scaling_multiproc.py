@@ -93,9 +93,9 @@ def worker(pid: int, nproc: int, port: int) -> None:
                     out_shardings=NamedSharding(mesh, P()))(x)
         jax.block_until_ready(y)
 
-    def timed(run, mesh):
+    def timed(run, mesh, reps=REPS):
         ts = []
-        for _ in range(REPS):
+        for _ in range(reps):
             barrier(mesh)
             t0 = time.perf_counter()
             run()
@@ -157,7 +157,17 @@ def worker(pid: int, nproc: int, port: int) -> None:
     ss = Settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=500, scaling=2,
                   verbose=False)
     mesh_s = default_mesh(nproc, axis_name="stage")
-    for tag, masses, horizon in (("small", 10, 128), ("large", 40, 64)):
+    # four regimes (VERDICT r4 directive #4 adds the two _long rows):
+    #  * small (nb=29, S=128): the round-3 latency-bound overhead case
+    #  * large (nb=119, S=64): the first profitable config (round 4)
+    #  * small_long (nb=29, S=1536): the cost model's own predicted gloo
+    #    crossover point for small blocks (S >~ 1,500 at D=2) — the
+    #    model's second testable prediction, run to validate it
+    #  * large_long (nb=119, S=256): C(1)/4 >> O(4) — the regime where
+    #    adding devices must KEEP paying (D=4 > D=2 > D=1)
+    st_rows = (("small", 10, 128, REPS), ("large", 40, 64, REPS),
+               ("small_long", 10, 1536, 3), ("large_long", 40, 256, 3))
+    for tag, masses, horizon, row_reps in st_rows:
         H, A, q, bmin, bmax, meta = mpc_chain(masses, horizon, seed=3)
         sdata = from_mpc_chain(H, A, q, bmin, bmax, meta)
         gsdata = type(sdata)(*[
@@ -172,7 +182,7 @@ def worker(pid: int, nproc: int, port: int) -> None:
         res = run_st()
         assert int(res.status) == C.QPALM_SOLVED, (nproc, int(res.status))
         iters = int(res.iterations)
-        t = timed(run_st, mesh_s)
+        t = timed(run_st, mesh_s, reps=row_reps)
         if pid == 0:
             nb = meta["nx"] + meta["nu"]
             print(f"ST_RESULT_{tag} " + json.dumps({
@@ -196,26 +206,28 @@ def run_size(nproc: int, port: int):
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=_REPO,
         ))
-    out0, _ = procs[0].communicate(timeout=1200)
+    out0, _ = procs[0].communicate(timeout=3600)
     rcs = [procs[0].returncode]
     for p in procs[1:]:
-        p.communicate(timeout=300)
+        p.communicate(timeout=600)
         rcs.append(p.returncode)
     if any(rc != 0 for rc in rcs):
         sys.stderr.write(out0)
         raise RuntimeError(f"size {nproc}: worker rcs {rcs}")
-    dp = st = stl = None
+    dp = None
+    st = {}
     for line in out0.splitlines():
         if line.startswith("DP_RESULT "):
             dp = json.loads(line[len("DP_RESULT "):])
-        elif line.startswith("ST_RESULT_small "):
-            st = json.loads(line[len("ST_RESULT_small "):])
-        elif line.startswith("ST_RESULT_large "):
-            stl = json.loads(line[len("ST_RESULT_large "):])
-    if dp is None or st is None or stl is None:
+        elif line.startswith("ST_RESULT_"):
+            tag, payload = line[len("ST_RESULT_"):].split(" ", 1)
+            st[tag] = json.loads(payload)
+    if dp is None or set(st) != {"small", "large", "small_long",
+                                 "large_long"}:
         sys.stderr.write(out0)
-        raise RuntimeError(f"size {nproc}: missing result lines")
-    return dp, st, stl
+        raise RuntimeError(f"size {nproc}: missing result lines "
+                           f"(got {sorted(st)})")
+    return dp, st
 
 
 MARKER = "## Process-per-device scaling (no core oversubscription)"
@@ -226,26 +238,31 @@ def main() -> int:
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return 0
 
-    dp_rows, st_rows, stl_rows = [], [], []
+    dp_rows = []
+    st_tabs = {t: [] for t in ("small", "large", "small_long",
+                               "large_long")}
     for k, nproc in enumerate(SIZES):
-        dp, st, stl = run_size(nproc, 47731 + k)
+        dp, st = run_size(nproc, 47731 + k)
         dp_rows.append(dp)
-        st_rows.append(st)
-        stl_rows.append(stl)
+        for tag, row in st.items():
+            st_tabs[tag].append(row)
         print(f"size {nproc}: dp {dp['solves_per_s']} solves/s, "
-              f"stage-small {st['iters_per_s']} / stage-large "
-              f"{stl['iters_per_s']} iters/s", flush=True)
+              + ", ".join(f"stage-{t} {st[t]['iters_per_s']} it/s"
+                          for t in sorted(st)), flush=True)
 
     base = dp_rows[0]["solves_per_s"]
     for r in dp_rows:
         r["weak_efficiency"] = round(
             r["solves_per_s"] / (base * r["devices"]), 3)
+    st_rows = st_tabs["small"]
     base_t = st_rows[0]["time_s"]
     for r in st_rows:
         r["overhead_factor"] = round(r["time_s"] / base_t, 3)
-    base_tl = stl_rows[0]["time_s"]
-    for r in stl_rows:
-        r["speedup"] = round(base_tl / r["time_s"], 3)
+    for tag in ("large", "small_long", "large_long"):
+        base_tl = st_tabs[tag][0]["time_s"]
+        for r in st_tabs[tag]:
+            r["speedup"] = round(base_tl / r["time_s"], 3)
+    stl_rows = st_tabs["large"]
 
     lines = [
         MARKER,
@@ -306,6 +323,34 @@ def main() -> int:
         lines.append(f"| {r['devices']} | {r['time_s']} | "
                      f"{r['iterations']} | {r['iters_per_s']} | "
                      f"{r['speedup']} |")
+    for tag, title, blurb in (
+        ("small_long",
+         "Stage-sharded small blocks at the cost model's predicted "
+         "crossover (chain of 10 masses, nb=29, horizon 1536)",
+         "COST_MODEL_distributed.md predicts the small-block chain "
+         "starts paying on gloo at D=2 around S >~ 1,500 stages — this "
+         "row is that prediction, measured."),
+        ("large_long",
+         "Stage-sharded large blocks, long horizon (chain of 40 "
+         "masses, nb=119, horizon 256)",
+         "The regime where C(1)/4 >> O(4): adding devices must KEEP "
+         "paying (D=4 > D=2 > D=1)."),
+    ):
+        rows_t = st_tabs[tag]
+        lines += [
+            "",
+            f"### {title}",
+            "",
+            blurb,
+            "",
+            "| processes | time (s) | P-ALM iterations | iters/s | "
+            "speedup vs 1 proc |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows_t:
+            lines.append(f"| {r['devices']} | {r['time_s']} | "
+                         f"{r['iterations']} | {r['iters_per_s']} | "
+                         f"{r['speedup']} |")
     lines.append("")
     section = "\n".join(lines)
 
@@ -324,7 +369,10 @@ def main() -> int:
             f.write(body + section)
 
     print(json.dumps({"dp": dp_rows, "stage": st_rows,
-                      "stage_large": stl_rows, "report": out_path}))
+                      "stage_large": stl_rows,
+                      "stage_small_long": st_tabs["small_long"],
+                      "stage_large_long": st_tabs["large_long"],
+                      "report": out_path}))
     return 0
 
 

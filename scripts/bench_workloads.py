@@ -174,39 +174,45 @@ def main():
         print(f"[sweep] {family} {size}: warm/compile...",
               file=sys.stderr, flush=True)
         run_pipeline(data32, d64)  # compile + warm (untimed)
-        print(f"[sweep] {family} {size}: timing...",
+        print(f"[sweep] {family} {size}: timing (interleaved A/B)...",
               file=sys.stderr, flush=True)
-        times = []
+        # VARIANCE-CONTROLLED PROTOCOL (VERDICT r4 directive #3): the
+        # framework pass and the baseline pass are interleaved
+        # A/B/A/B... within one session, so ambient drift (tunnel RPC
+        # drag, host CPU steal) hits both columns alike instead of
+        # whichever happened to run second.  Both sides report the
+        # median of `reps` passes with every rep disclosed.
+        sample = probs[: args.baseline_sample]
+        baseline_c.solve(*sample[0], eps_abs=EPS, eps_rel=EPS,
+                         scaling=2)  # warm lib load (untimed)
+        times, base_times, nb = [], [], 0
         for k in range(1, args.reps + 1):
             d32k, d64k = stacks(k)
             t0 = time.perf_counter()
             ok = run_pipeline(d32k, d64k)
             times.append(time.perf_counter() - t0)
-        import statistics
-        dt = statistics.median(times)
-        ours = B / dt
-
-        # baseline on a sample of the same instances: BEST of 3 passes
-        # (the conservative direction for the speedup ratio — the host
-        # CPU jitters 15-30% pass-to-pass; bench.py uses the same rule)
-        sample = probs[: args.baseline_sample]
-        baseline_c.solve(*sample[0], eps_abs=EPS, eps_rel=EPS, scaling=2)
-        base, nb = 0.0, 0
-        for _ in range(3):
             tb = time.perf_counter()
             nb = sum(baseline_c.solve(*p, eps_abs=EPS, eps_rel=EPS,
                                       scaling=2)["status"] == 1
                      for p in sample)
-            base = max(base, len(sample) / (time.perf_counter() - tb))
+            base_times.append((time.perf_counter() - tb) / len(sample))
+        import statistics
+        dt = statistics.median(times)
+        ours = B / dt
+        base_med = 1.0 / statistics.median(base_times)
+        base_best = 1.0 / min(base_times)
         rows.append({
             "family": family, "size": size, "batch": B,
             "path": "fused" if use_fused else "xla-loop",
             "certified": int(ok.sum()),
             "solves_per_s": round(ours, 1),
             "rep_s": [round(t, 4) for t in times],
-            "baseline_solves_per_s": round(base, 1),
+            "baseline_solves_per_s": round(base_med, 1),
+            "baseline_best_solves_per_s": round(base_best, 1),
+            "baseline_rep_s_per_solve": [round(t, 5) for t in base_times],
             "baseline_solved": int(nb),
-            "speedup": round(ours / base, 2),
+            "speedup": round(ours / base_med, 2),
+            "speedup_vs_base_best": round(ours / base_best, 2),
         })
         print(f"{family} {size}: {rows[-1]}", file=sys.stderr)
 
@@ -226,24 +232,39 @@ def main():
         "rest use the general vmapped XLA loop.  Batch size is",
         "size-adaptive (small problems are dispatch-latency bound, so",
         "they run big batches — the framework's native operating point).",
-        f"Timing: median of {args.reps} distinct perturbed problem sets "
-        "per config",
-        "(the tunnel's ambient RPC latency drifts up to 3x within a",
-        "sweep and the host CPU jitters 15-30%; the C baseline is",
-        "re-measured per run as the BEST of 3 passes — the conservative",
-        "direction for the ratio).  The pipelined headline bench is",
+        f"Timing: INTERLEAVED A/B protocol — per config, {args.reps} "
+        "alternating",
+        "(framework pass, baseline pass) pairs in one session, so ambient",
+        "drift (tunnel RPC drag, host CPU steal) hits both columns alike.",
+        "Both columns are medians of their passes; per-rep times for both",
+        "sides and the min/max spread are disclosed.  `speedup` divides",
+        "the medians; `vs best` divides by the baseline's BEST pass (the",
+        "conservative direction).  The pipelined headline bench is",
         "bench.py.",
         "",
-        "| family | size | batch | path | certified | solves/s | "
-        "baseline solves/s | speedup |",
-        "|---|---|---|---|---|---|---|---|",
+        "| family | size | batch | path | certified | solves/s "
+        "(spread) | baseline solves/s | speedup | vs best |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        rep_rates = sorted(r["batch"] / t for t in r["rep_s"])
+        spread = f"{rep_rates[0]:.0f}-{rep_rates[-1]:.0f}"
         lines.append(
             f"| {r['family']} | {r['size']} | {r['batch']} | "
             f"{r['path']} | "
-            f"{r['certified']}/{r['batch']} | {r['solves_per_s']} | "
-            f"{r['baseline_solves_per_s']} | {r['speedup']} |")
+            f"{r['certified']}/{r['batch']} | {r['solves_per_s']} "
+            f"({spread}) | {r['baseline_solves_per_s']} "
+            f"| {r['speedup']} | {r['speedup_vs_base_best']} |")
+    lines += [
+        "",
+        "Per-rep detail (framework seconds per batch / baseline seconds "
+        "per solve):",
+        "",
+    ]
+    for r in rows:
+        lines.append(
+            f"- {r['family']} {r['size']}: fw {r['rep_s']} / base "
+            f"{r['baseline_rep_s_per_solve']}")
     lines.append("")
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmarks", "RESULTS_workloads.md")

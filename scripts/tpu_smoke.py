@@ -364,6 +364,37 @@ def main():
 
     check("noalias_streaming_wall_n352", noalias_wall_check)
 
+    # 12. the large-dense MXU pipeline at n=512 on the real chip
+    #     (VERDICT r4 directive #9): f32 XLA Schur loop + f64 host
+    #     polish, every problem KKT-certified at 1e-6 by the pipeline's
+    #     own contract AND re-checked here independently
+    def large_dense_check():
+        from qpalm_tpu.large import solve_large_dense
+
+        rng = np.random.default_rng(99)
+        probs = []
+        for _ in range(3):
+            n, m = 512, 768
+            M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+            Q = M @ M.T / n + 0.1 * np.eye(n)
+            A = rng.standard_normal((m, n))
+            q = rng.standard_normal(n)
+            u = 2 * rng.random(m)
+            probs.append((Q, A, q, -u, u))
+        res = solve_large_dense(probs, eps=1e-6)
+        assert res.ok.all(), f"certified {int(res.ok.sum())}/3"
+        for i, (Q, A, q, bmin, bmax) in enumerate(probs):
+            xi, yi = res.x[i][:512], res.y[i][:768]
+            Ax = A @ xi
+            pri = np.abs(Ax - np.clip(Ax, bmin, bmax)).max()
+            dua = np.abs(Q @ xi + q + A.T @ yi).max()
+            scale = max(np.abs(Q @ xi).max(), np.abs(q).max(),
+                        np.abs(A.T @ yi).max())
+            assert pri <= 1e-6 + 1e-6 * np.abs(Ax).max(), (i, pri)
+            assert dua <= 1e-6 + 1e-6 * scale, (i, dua)
+
+    check("large_dense_n512_certified", large_dense_check)
+
     ok = all(r["ok"] for r in RESULTS)
     print(json.dumps({"smoke_ok": ok, "checks": RESULTS}), flush=True)
     sys.exit(0 if ok else 1)
