@@ -70,6 +70,7 @@ struct Settings {
   // halve across 5 consecutive outer updates, escalate sigma globally by
   // delta.  Off (0) when this solver acts as the baseline comparator.
   int rescue = 0;
+  int rescue_window = 5;  // outer updates without halving pri_res
   double time_limit = 0.0;  // seconds; 0 = unlimited
   double eps_prim_inf = 1e-5;  // reference: constants.h EPS_PRIM_INF
   double eps_dual_inf = 1e-5;
@@ -166,7 +167,10 @@ class SparseQpalm {
     std::vector<double> Axys(m_), z(m_), pri_res(m_), yh(m_), Atyh(n_),
         df(n_), dphi(n_), d(n_), Qd(n_), Ad(m_);
     for (iter = 0; iter < s_.max_iter; ++iter) {
-      if (s_.time_limit > 0.0 && (iter & 15) == 0) {
+      // every iteration: one steady_clock read is ~20 ns, while a single
+      // iteration on a heavy-fill instance can run minutes (observed on
+      // AUG2D-A: a 16-iteration check stride overshot the cap ~20x)
+      if (s_.time_limit > 0.0) {
         std::chrono::duration<double> el =
             std::chrono::steady_clock::now() - t_start;
         if (el.count() > s_.time_limit) {
@@ -289,7 +293,7 @@ class SparseQpalm {
           else
             ++stall_outer;
           best_pri_outer = std::min(best_pri_outer, pri_norm);
-          if (stall_outer >= 5 && pri_norm > eps_pri) {
+          if (stall_outer >= s_.rescue_window && pri_norm > eps_pri) {
             for (int k = 0; k < m_; ++k)
               sigma_[k] = std::min(sigma_[k] * s_.delta, s_.sigma_max);
             factor_valid_ = false;
@@ -762,9 +766,10 @@ extern "C" {
 // full symmetric (lower entries are dropped).  Returns status
 // (1 solved, -2 max_iter, 0 internal error).
 // flags: bit 0 = framework-mode stagnation rescue (0 for the
-// reference-semantics baseline).  time_limit in seconds (0 = unlimited;
-// status -3 when hit).  Returns status (1 solved, -2 max_iter,
-// -3 time_limit, 0 internal error).
+// reference-semantics baseline); bits 1-7 = rescue window override
+// (0 -> default 5 outer updates).  time_limit in seconds (0 = unlimited;
+// status -5 when hit).  Returns status (1 solved, -2 max_iter,
+// -5 time_limit, -3/-4 infeasibility certificates, 0 internal error).
 int qpalm_sparse_baseline_solve(int n, int m, const int *Qp, const int *Qi,
                                 const double *Qx, int Qnnz, const int *Ap,
                                 const int *Ai, const double *Axv, int Annz,
@@ -783,6 +788,8 @@ int qpalm_sparse_baseline_solve(int n, int m, const int *Qp, const int *Qi,
     s.scaling = scaling;
     s.delta = delta;
     s.rescue = flags & 1;
+    int win = (flags >> 1) & 0x7f;
+    if (win > 0) s.rescue_window = win;
     s.time_limit = time_limit;
     SparseQpalm solver(n, m, Qp, Qi, Qx, Qnnz, Ap, Ai, Axv, Annz, q, bmin,
                        bmax, s);

@@ -114,7 +114,7 @@ def solve(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
 
 def solve_sparse(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
                  max_iter=50000, scaling=10, delta=100.0, rescue=False,
-                 time_limit=0.0):
+                 time_limit=0.0, rescue_window=0):
     """Solve one sparse QP with the native single-threaded sparse solver
     (native/qpalm_sparse_baseline.cpp): reference C-QPALM semantics over a
     sparse LDL' with AMD ordering, Schur form (the reference's CHOLMOD
@@ -156,7 +156,8 @@ def solve_sparse(Q, A, q, bmin, bmax, eps_abs=1e-6, eps_rel=1e-6,
         np.ascontiguousarray(A.data, np.float64), int(A.nnz),
         q, bmin, bmax, float(eps_abs), float(eps_rel),
         int(max_iter), int(scaling), float(delta),
-        int(bool(rescue)), float(time_limit),
+        int(bool(rescue)) | (int(rescue_window) & 0x7F) << 1,
+        float(time_limit),
         x, y, ctypes.byref(it), ctypes.byref(obj), dy, dx,
     )
     status = int(status)

@@ -283,6 +283,8 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
     it_out = prev_it = 0
     best_pri_outer = np.inf
     stall_outer = 0
+    act_stable_outer = 0
+    active_prev_outer = np.zeros(m, bool)
     x_prev = x.copy()
     tQd = np.zeros(n)
     tAd = np.zeros(m)
@@ -424,6 +426,31 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
                     factor_valid = False
                     stall_outer = 0
                     best_pri_outer = pri_norm
+            # ---- terminal sigma boost (beyond-reference; KKT mode only).
+            # On degenerate active sets (CVXQP1_L) sigma saturates at
+            # sigma_max while the active set is settled, and pri_res then
+            # decays geometrically at 1/(1+sigma*lambda) for hundreds of
+            # iterations.  The quasi-definite KKT factorization is stable
+            # in the near-equality limit (its (2,2) pivots are dominated
+            # by the Schur term, not -1/sigma), so once (a) the subproblem
+            # is converged, (b) the active set is unchanged across 3
+            # consecutive outer updates, and (c) every active row's sigma
+            # sits at sigma_max, the active rows jump to sigma = 1e13 —
+            # the remaining primal error collapses in 1-2 outer updates
+            # instead of hundreds.  The Schur form is excluded: at 1e13
+            # its condition number breaks f64.
+            if use_kkt and outer_trigger and it_out > 1:
+                if np.array_equal(active, active_prev_outer):
+                    act_stable_outer += 1
+                else:
+                    act_stable_outer = 0
+                active_prev_outer = active.copy()
+                if (act_stable_outer >= 3 and pri_norm > eps_pri
+                        and active.any()
+                        and sigma[active].min() >= s.sigma_max * 0.999
+                        and sigma.max() < 1e13):
+                    sigma = np.where(active, 1e13, sigma)
+                    factor_valid = False
             if outer_trigger:
                 y = yh
                 eps_abs_in = max(s.eps_abs, s.rho * eps_abs_in)
