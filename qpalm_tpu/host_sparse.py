@@ -316,6 +316,17 @@ def solve_sparse_direct(Q, A, q, bmin, bmax, settings: Optional[Settings]
         z = np.clip(Axys, bmin, bmax)
         pri_res = Ax - z
         yh = y + sigma * pri_res
+        # strictly-inside rows have yh = y + sigma*(-y/sigma) = 0 in exact
+        # arithmetic, but once the terminal boost pushes sigma past the
+        # reference cap, y/sigma underflows below Ax's ulp and the
+        # cancellation never happens — a stale multiplier (~1e-4) then
+        # survives on a slack row and breaks the complementarity
+        # certificate.  Zero those rows explicitly (exact-equivalent;
+        # gated on sigma > 1e10 so reference-range paths stay bit-exact
+        # with the device twin).
+        if m and sigma.max() > 1e10:
+            yh = np.where(
+                (Axys > bmin) & (Axys < bmax) & (sigma > 1e10), 0.0, yh)
         df = Qx + q - (xprev_center / gamma if s.proximal else 0.0)
         Atyh = At @ yh
         dphi = df + Atyh
