@@ -132,27 +132,63 @@ def main():
 
         use_fused = _fused_eligible(s32, Bp, n_pad, m_pad)
 
-        def run_pipeline(d32, d64):
-            # eligible shapes ride the fused Pallas kernel (the headline
-            # path); the rest use the general vmapped XLA loop
-            if use_fused:
-                from qpalm_tpu.solver.fused import fused_solve_jit
+        # bench.py-style pipelined runner (round-5): split the batch into
+        # <=512-lane rounds, dispatch round k+1's kernel while the host
+        # polishes round k (a background thread waits out the fetch RPC),
+        # batch the retry + finisher once at the end — the framework's
+        # real operating mode, the same machinery the headline bench
+        # measures.  Single-round configs degenerate to the serial path.
+        from concurrent.futures import ThreadPoolExecutor
 
-                r = fused_solve_jit(d32, zx, zy, s32)
-                x32, y32 = jax.device_get((r[0], r[1]))
+        from qpalm_tpu.solver.fused import fused_solve_jit
+
+        ROUND = 512
+        n_rounds = max(1, Bp // ROUND)
+        rsz = Bp // n_rounds
+        fetch_pool = ThreadPoolExecutor(max_workers=1)
+        zx_r = jnp.zeros((rsz, n_pad), jnp.float32)
+        zy_r = jnp.zeros((rsz, m_pad), jnp.float32)
+        gam_r = jnp.full((rsz,), s32.gamma_init, jnp.float32)
+
+        @jax.jit
+        def _pack(x, y):
+            return jnp.concatenate([x, y], axis=1)
+
+        def dispatch(d32, k):
+            sl = slice(k * rsz, (k + 1) * rsz)
+            d32r = jax.tree.map(lambda a: a[sl], d32)
+            if use_fused:
+                r = fused_solve_jit(d32r, zx_r, zy_r, s32)
+                packed = _pack(r[0], r[1])
             else:
-                res = solve_batch_jit(d32, zx, zy, gam, s32, False,
-                                      False)
-                x32, y32 = jax.device_get((res.x, res.y))
-            # staged polish (same scheme as bench.py): one cheap
-            # rounds=1/refine_steps=0 pass for the whole batch — it
-            # certifies ~98-99% of lanes — then a rounds=3 retry on the
-            # failures, then the genuine f64 P-ALM finisher for the rest
-            pol = polish_batch_np(d64, x32, y32, eps_abs=EPS, eps_rel=EPS,
-                                  rounds=1, refine_steps=0)
-            ok = np.asarray(pol.ok)
-            bad = np.where(~ok)[0]
-            if len(bad):
+                res = solve_batch_jit(d32r, zx_r, zy_r, gam_r, s32,
+                                      False, False)
+                packed = _pack(res.x, res.y)
+            packed.copy_to_host_async()
+            return fetch_pool.submit(lambda: np.asarray(packed))
+
+        def run_pipeline(d32, d64):
+            ok = np.zeros(Bp, bool)
+            x32 = np.empty((Bp, n_pad), np.float32)
+            y32 = np.empty((Bp, m_pad), np.float32)
+            bad_all = []
+            pending = dispatch(d32, 0)
+            for k in range(n_rounds):
+                nxt = dispatch(d32, k + 1) if k + 1 < n_rounds else None
+                xy = pending.result()
+                sl = slice(k * rsz, (k + 1) * rsz)
+                x32[sl] = xy[:, :n_pad]
+                y32[sl] = xy[:, n_pad:]
+                d64r = jax.tree.map(lambda a: a[sl], d64)
+                pol = polish_batch_np(d64r, xy[:, :n_pad], xy[:, n_pad:],
+                                      eps_abs=EPS, eps_rel=EPS, rounds=1,
+                                      refine_steps=0)
+                okr = np.asarray(pol.ok)
+                ok[sl] = okr
+                bad_all.extend(k * rsz + i for i in np.where(~okr)[0])
+                pending = nxt
+            if bad_all:
+                bad = np.asarray(bad_all)
                 sub = jax.tree.map(lambda a: a[bad], d64)
                 pol2 = polish_batch_np(sub, x32[bad], y32[bad],
                                        eps_abs=EPS, eps_rel=EPS, rounds=3)
