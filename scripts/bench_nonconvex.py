@@ -147,6 +147,10 @@ def main():
             t0 = time.perf_counter()
             bad = np.where(~ok)[0]
             if len(bad):
+                # COLD f64 rescue: warm-starting from the polished f32
+                # iterates was measured HARMFUL here (slower + certification
+                # losses) — a wrong-active-set near-stationary point traps
+                # the nonconvex proximal center
                 with _jax.default_device(cpu):
                     res2 = solve_batch([probs[i] for i in bad], s64)
                 sub = _jax.tree.map(lambda a: a[bad], d64)
