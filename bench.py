@@ -57,7 +57,8 @@ os.environ.setdefault("QPALM_TPU_PALLAS", "0")
 import numpy as np  # noqa: E402
 
 K_ROUNDS = int(os.environ.get("QPALM_BENCH_K", "8"))
-REPS = 5  # timed pipeline repetitions (distinct problems each; the axon
+REPS = int(os.environ.get("QPALM_BENCH_REPS", "5"))
+# timed pipeline repetitions (distinct problems each; the axon
 # stack memoizes bit-identical inputs).  The reported number is the MEDIAN
 # rep; all reps are disclosed in detail.pipeline_s_reps; all wall-clock is
 # charged within a rep.  5 reps because the tunnel's ambient RPC drag
@@ -304,12 +305,17 @@ def main_tpu():
     host_polish(0, r0)  # warms numpy/LAPACK thread pools
 
     # ---- timed pipeline ---------------------------------------------------
-    # dispatch TPU round k+1 before polishing round k on the host: the TPU
-    # executes remotely while the CPU polishes (and the fetch thread waits
-    # out the transfer RPC), so steady-state cost per round is
-    # max(t_tpu, t_polish), not the sum.  REPS repetitions over DISTINCT
+    # keep DEPTH TPU rounds in flight ahead of the host polish.  Depth 1
+    # (round 4) left the fetch RPC on the critical path: after polishing
+    # round k-1 the host had nothing to do but sit in fetch_wait for the
+    # remainder of kernel k PLUS the ~12-40 ms tunnel transfer, so the
+    # round period was (K - P) + R + P, not max(K, P).  With two rounds in
+    # flight the fetch thread completes round k's transfer while the host
+    # polishes k-1 (kernel k is long done), and the steady-state period is
+    # max(t_kernel, t_polish, t_transfer).  REPS repetitions over DISTINCT
     # problem sets (the axon stack memoizes identical inputs); the MEDIAN
     # rep is reported, all reps disclosed
+    DEPTH = int(os.environ.get("QPALM_BENCH_DEPTH", "2"))
     phase_log = {"dispatch": [], "fetch_wait": [], "polish": [],
                  "rescue": []}
 
@@ -318,12 +324,14 @@ def main_tpu():
         oks = [None] * K_ROUNDS
         results = [None] * K_ROUNDS
         leftovers = []
-        pending = tpu_solve(base)
+        pending = [tpu_solve(base + j)
+                   for j in range(min(DEPTH, K_ROUNDS))]
         for k in range(K_ROUNDS):
             td = time.perf_counter()
-            nxt = tpu_solve(base + k + 1) if k + 1 < K_ROUNDS else None
+            if k + DEPTH < K_ROUNDS:
+                pending.append(tpu_solve(base + k + DEPTH))
             tf = time.perf_counter()
-            res = pending.result()
+            res = pending.pop(0).result()
             tp = time.perf_counter()
             oks[k], bad = host_polish(base + k, res)
             leftovers.extend(bad)
@@ -331,7 +339,6 @@ def main_tpu():
             phase_log["fetch_wait"].append(tp - tf)
             phase_log["polish"].append(time.perf_counter() - tp)
             results[k] = res
-            pending = nxt
         tr = time.perf_counter()
         nfin_total = rescue_tail(leftovers, oks)
         phase_log["rescue"].append(time.perf_counter() - tr)
@@ -369,9 +376,14 @@ def main_tpu():
     gflops = tpu_flops / total_time / 1e9
     mfu = tpu_flops / total_time / peak
 
-    baseline_throughput, baseline_reps = measure_baseline(
-        rounds[0][:SAMPLE_BASELINE]
-    )
+    if os.environ.get("QPALM_BENCH_SKIP_BASELINE"):
+        # probe-mode runs (phase-telemetry investigation) skip the ~25 s
+        # sequential C baseline; the official bench always measures it
+        baseline_throughput, baseline_reps = 0.0, []
+    else:
+        baseline_throughput, baseline_reps = measure_baseline(
+            rounds[0][:SAMPLE_BASELINE]
+        )
 
     out = {
         "metric": "qp_solves_per_sec_per_chip_at_1e-6",

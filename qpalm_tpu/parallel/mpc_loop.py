@@ -126,6 +126,46 @@ def from_mpc_chain(H, A, q, bmin, bmax, meta):
     )
 
 
+def mpc_chain_stage_data(n_masses: int = 6, horizon: int = 10, x0=None,
+                         seed: int = 0) -> MPCStageData:
+    """Build the chain MPC's MPCStageData DIRECTLY in stage-block form.
+
+    Bit-identical to `from_mpc_chain(*workloads.mpc_chain(...))` (asserted
+    in tests/test_mpc_loop.py) but O(S * nb^2) memory instead of the dense
+    route's O((S*nb)^2): at horizon 1536 / nb 29 the dense intermediates
+    (`np.vstack` of the (m, nz) constraint matrix) are ~27 GB of resident
+    pages PER PROCESS — the multiproc scaling bench at 4 processes OOM-kills
+    a 125 GB box building four copies of a matrix whose stage blocks total
+    ~10 MB.  Long-horizon workloads must use this constructor.
+    """
+    from ..workloads import _chain_dynamics
+
+    rng = np.random.default_rng(seed)
+    Ad, Bd = _chain_dynamics(n_masses)
+    nx, nu = Bd.shape
+    nb = nx + nu
+    N = horizon
+    if x0 is None:
+        x0 = 0.5 * rng.standard_normal(nx)
+    x0 = np.asarray(x0, float)
+
+    # stage Hessian blockdiag(Qw=I_nx, Rw=0.1 I_nu) — identical all stages
+    Hb = np.eye(nb)
+    Hb[nx:, nx:] *= 0.1
+    H_blocks = np.broadcast_to(Hb, (N, nb, nb)).copy()
+    q_blocks = np.zeros((N, nb))
+    beq = np.zeros((N, nx))
+    beq[0] = Ad @ x0
+    lohi = np.concatenate([4.0 * np.ones(nx), 0.5 * np.ones(nu)])
+    lo = np.broadcast_to(-lohi, (N, nb)).copy()
+    hi = np.broadcast_to(lohi, (N, nb)).copy()
+    return MPCStageData(
+        H=jnp.asarray(H_blocks), q=jnp.asarray(q_blocks),
+        beq=jnp.asarray(beq), lo=jnp.asarray(lo), hi=jnp.asarray(hi),
+        Ad=jnp.asarray(Ad), Bd=jnp.asarray(Bd),
+    )
+
+
 def _limit(v):
     return jnp.where(v < MIN_SCALING, jnp.ones_like(v), v)
 

@@ -64,10 +64,10 @@ def worker(pid: int, nproc: int, port: int) -> None:
     from qpalm_tpu import Settings, constants as C
     from qpalm_tpu.batch import stack_problems
     from qpalm_tpu.parallel.mpc_loop import (
-        from_mpc_chain, solve_mpc_stage_sharded,
+        mpc_chain_stage_data, solve_mpc_stage_sharded,
     )
     from qpalm_tpu.parallel.sharded import default_mesh, solve_batch_sharded
-    from qpalm_tpu.workloads import mpc_chain, random_qp
+    from qpalm_tpu.workloads import random_qp
 
     assert len(jax.devices()) == nproc, jax.devices()
 
@@ -168,8 +168,11 @@ def worker(pid: int, nproc: int, port: int) -> None:
     st_rows = (("small", 10, 128, REPS), ("large", 40, 64, REPS),
                ("small_long", 10, 1536, 3), ("large_long", 40, 256, 3))
     for tag, masses, horizon, row_reps in st_rows:
-        H, A, q, bmin, bmax, meta = mpc_chain(masses, horizon, seed=3)
-        sdata = from_mpc_chain(H, A, q, bmin, bmax, meta)
+        # stage-block-direct constructor: the dense mpc_chain route holds
+        # ~27 GB of resident vstack pages per process at horizon 1536 —
+        # four processes OOM a 125 GB box (observed 2026-08-20)
+        sdata = mpc_chain_stage_data(masses, horizon, seed=3)
+        nb_blk = sdata.q.shape[1]
         gsdata = type(sdata)(*[
             make_global(a, mesh_s, "stage") for a in sdata
         ])
@@ -184,7 +187,7 @@ def worker(pid: int, nproc: int, port: int) -> None:
         iters = int(res.iterations)
         t = timed(run_st, mesh_s, reps=row_reps)
         if pid == 0:
-            nb = meta["nx"] + meta["nu"]
+            nb = nb_blk
             print(f"ST_RESULT_{tag} " + json.dumps({
                 "devices": nproc, "nb": nb, "stages": horizon,
                 "time_s": round(t, 4), "iterations": iters,
@@ -238,11 +241,31 @@ def main() -> int:
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return 0
 
+    # per-size resume cache: each completed size is persisted immediately,
+    # so an OOM/crash at size N only costs size N on the re-run (the full
+    # 1/2/4 sweep is ~50 min of wall-clock).  Delete the file for a fresh
+    # measurement.
+    cache_path = os.path.join(_REPO, "benchmarks",
+                              ".scaling_multiproc_cache.json")
+    cache = {}
+    if os.path.exists(cache_path) and not os.environ.get(
+            "QPALM_SCALING_FRESH"):
+        with open(cache_path) as f:
+            cache = json.load(f)
+
     dp_rows = []
     st_tabs = {t: [] for t in ("small", "large", "small_long",
                                "large_long")}
     for k, nproc in enumerate(SIZES):
-        dp, st = run_size(nproc, 47731 + k)
+        key = str(nproc)
+        if key in cache:
+            dp, st = cache[key]["dp"], cache[key]["st"]
+            print(f"size {nproc}: cached", flush=True)
+        else:
+            dp, st = run_size(nproc, 47731 + k)
+            cache[key] = {"dp": dp, "st": st}
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
         dp_rows.append(dp)
         for tag, row in st.items():
             st_tabs[tag].append(row)

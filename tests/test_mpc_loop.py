@@ -172,3 +172,18 @@ def test_stage_sharded_dual_infeasible_certificate():
     assert np.abs(dz).max() > 0
     # descent direction: q' dz < 0 and H dz = 0 trivially
     assert float(np.dot(np.full(dz.shape, -1.0), dz)) < 0
+
+
+def test_stage_data_direct_constructor_matches_dense_route():
+    """mpc_chain_stage_data must be bit-identical to the dense
+    from_mpc_chain(mpc_chain(...)) route (it exists because the dense
+    route's vstack holds ~27 GB of resident pages per process at
+    horizon 1536 — the multiproc scaling bench OOMed at 4 processes)."""
+    from qpalm_tpu.parallel.mpc_loop import mpc_chain_stage_data
+
+    for masses, horizon, seed in ((4, 16, 0), (10, 12, 3), (3, 7, 11)):
+        dense = from_mpc_chain(*mpc_chain(masses, horizon, seed=seed))
+        direct = mpc_chain_stage_data(masses, horizon, seed=seed)
+        for field, a, b in zip(dense._fields, dense, direct):
+            assert a.shape == b.shape, (field, a.shape, b.shape)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), field
