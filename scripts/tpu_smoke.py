@@ -395,6 +395,59 @@ def main():
 
     check("large_dense_n512_certified", large_dense_check)
 
+    # 13. on-device polish (round 5, qpalm_tpu.polish_device): the f32-
+    #     preconditioned, margin-gated certification that the headline
+    #     bench now runs on-chip.  Every lane the DEVICE certifies must
+    #     pass the independent HOST polish KKT check in native f64, and
+    #     the certified count must reach the host polish's rate.
+    def device_polish_check():
+        import jax.numpy as jnp
+
+        from qpalm_tpu.polish import polish_batch_np
+        from qpalm_tpu.polish_device import polish_batch_tpu
+        from qpalm_tpu.solver.fused import fused_solve_jit
+        from qpalm_tpu.batch import stack_problems
+        from qpalm_tpu.types import Settings
+
+        rng = np.random.default_rng(1234)
+        B, n, m = 512, 64, 96
+        probs = []
+        for _ in range(B):
+            M = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.5)
+            Q = M @ M.T / n + 0.1 * np.eye(n)
+            A = rng.standard_normal((m, n))
+            u = 2 * rng.random(m)
+            probs.append((Q, A, rng.standard_normal(n), -u, u))
+        d32 = stack_problems(probs, np.float32)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            d64h = jax.tree.map(np.asarray,
+                                stack_problems(probs, np.float64))
+        d64 = jax.tree.map(jnp.asarray, d64h)
+        n_pad = d32.q.shape[1]
+        m_pad = d32.bmin.shape[1]
+        s32 = Settings(dtype="float32", eps_abs=5e-5, eps_rel=5e-5,
+                       max_iter=96, scaling=2, max_refine=0, delta=10.0)
+        r = fused_solve_jit(d32, jnp.zeros((B, n_pad), jnp.float32),
+                            jnp.zeros((B, m_pad), jnp.float32), s32)
+        pd = polish_batch_tpu(d64, r[0], r[1], eps_abs=1e-6, eps_rel=1e-6,
+                              refine_iters=3, second_round_k=64,
+                              seed_guard="norm", residual32=True,
+                              accept_viol=0.5)
+        ok_dev = np.asarray(pd.ok)
+        assert ok_dev.sum() >= int(0.96 * B), f"device {ok_dev.sum()}/{B}"
+        chk = polish_batch_np(
+            jax.tree.map(lambda a: a[ok_dev], d64h),
+            np.asarray(pd.x)[ok_dev], np.asarray(pd.y)[ok_dev],
+            eps_abs=1e-6, eps_rel=1e-6, rounds=0,
+        )
+        n_ref = int(np.asarray(chk.ok).sum())
+        assert n_ref == int(ok_dev.sum()), (
+            f"host referee {n_ref}/{int(ok_dev.sum())}"
+        )
+
+    check("device_polish_referee_parity", device_polish_check)
+
     ok = all(r["ok"] for r in RESULTS)
     print(json.dumps({"smoke_ok": ok, "checks": RESULTS}), flush=True)
     sys.exit(0 if ok else 1)

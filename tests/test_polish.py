@@ -143,3 +143,74 @@ def test_compressed_matches_full():
     np.testing.assert_allclose(pc.x, pf.x, atol=1e-8, rtol=0)
     np.testing.assert_allclose(pc.y, pf.y, atol=1e-8, rtol=0)
     np.testing.assert_allclose(pc.objective, pf.objective, rtol=1e-9)
+
+
+def test_device_polish_matches_np():
+    """polish_batch_tpu (the on-device certification pipeline) must agree
+    with the host polish: same certified-lane classification on the lanes
+    both certify, and matching solutions there.  Runs the f64-residual
+    mode AND the residual32 mode (f32 'highest' residuals + margin-gated
+    acceptance) — on CPU both modes' f32 matmuls are true f32, which is
+    also what 'highest' delivers on TPU hardware."""
+    from qpalm_tpu.polish_device import polish_batch_tpu
+
+    probs = [random_convex_qp(24, 36, seed=500 + i, density=0.5)
+             for i in range(32)]
+    r32 = _solve_f32_batch(probs, eps=5e-5)
+    d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
+    x32, y32 = np.asarray(r32.x), np.asarray(r32.y)
+    pn = polish_batch_np(d64, x32, y32, rounds=1, refine_steps=0)
+    ok_np = np.asarray(pn.ok)
+    d64j = jax.tree.map(jnp.asarray, d64)
+    for kw in (
+        dict(seed_guard="norm", refine_iters=3, second_round_k=8),
+        dict(seed_guard="norm", refine_iters=3, second_round_k=8,
+             residual32=True, accept_viol=0.5),
+        dict(seed_guard=True, refine_iters=4),
+    ):
+        pd = polish_batch_tpu(d64j, jnp.asarray(x32), jnp.asarray(y32),
+                              **kw)
+        ok_dev = np.asarray(pd.ok)
+        # the device polish may certify a superset or subset on knife-edge
+        # lanes, but must agree on at least ~90% and never mis-certify:
+        # every device-ok lane must pass the independent host KKT check
+        both = ok_dev & ok_np
+        assert both.sum() >= int(0.9 * len(probs)), (kw, both.sum())
+        chk = polish_batch_np(
+            jax.tree.map(lambda a: a[ok_dev], d64),
+            np.asarray(pd.x)[ok_dev], np.asarray(pd.y)[ok_dev],
+            rounds=0,
+        )
+        assert np.asarray(chk.ok).all(), kw
+        dx = np.max(np.abs(np.asarray(pd.x)[both] - np.asarray(pn.x)[both]))
+        assert dx < 1e-5, (kw, dx)
+
+
+def test_device_polish_rank_deficient_active_set():
+    """The primal form P = Q + A_act'A_act/dh stays SPD under redundant
+    (rank-deficient) active rows, where the host KKT LU can go singular —
+    the device polish must still solve and certify."""
+    from qpalm_tpu.polish_device import polish_batch_tpu
+
+    rng = np.random.default_rng(3)
+    n, m = 12, 18
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T + 0.5 * np.eye(n)
+    A1 = rng.standard_normal((m // 2, n))
+    A = np.vstack([A1, A1])  # duplicated rows: any active set is deficient
+    q = rng.standard_normal(n)
+    b = A @ rng.standard_normal(n)
+    bmin, bmax = b - 0.1, np.tile(b[: m // 2] + 0.05, 2)  # upper binds
+    probs = [(Q, A, q, np.minimum(bmin, bmax - 0.01), bmax)]
+    r32 = _solve_f32_batch(probs, eps=5e-5)
+    d64 = jax.tree.map(np.asarray, stack_problems(probs, np.float64))
+    d64j = jax.tree.map(jnp.asarray, d64)
+    pd = polish_batch_tpu(d64j, jnp.asarray(np.asarray(r32.x)),
+                          jnp.asarray(np.asarray(r32.y)),
+                          seed_guard="norm", refine_iters=6)
+    assert np.isfinite(np.asarray(pd.x)).all()
+    chk = polish_batch_np(d64, np.asarray(pd.x), np.asarray(pd.y),
+                          rounds=0)
+    ok_dev = np.asarray(pd.ok)
+    if ok_dev[0]:
+        assert bool(np.asarray(chk.ok)[0])
