@@ -59,14 +59,28 @@ def solve_large_dense(
     settings: Optional[Settings] = None,
     max_iter: int = 2000,
     scaling: int = 10,
+    device_polish: bool = False,
 ) -> LargeResult:
     """Solve a (batch of) large dense QP(s) on the device at f32, then
-    certify at `eps` in f64 on the host (polish + finisher tail).
+    certify at `eps` in f64 (host polish by default; optional on-device).
 
     `problems`: sequence of (Q, A, q, bmin, bmax[, c]) tuples, dense or
     scipy-sparse (densified on transfer — this path is for problems whose
     factorization fills anyway; keep genuinely sparse problems on
     `solve_sparse_auto`).
+
+    `device_polish=True` runs the certification solve on the device
+    (`polish_device.polish_batch_tpu`, f64-residual mode — at n >= 512
+    the f32 residual floor grows past the 1e-6 thresholds, so unlike the
+    headline bench this regime needs exact emulated-f64 residuals).
+    MEASURED NOT PROFITABLE at this scale (v5e, 2026-08-20, warm, B=8
+    n=512: device polish 1.4 s vs host 0.6 s): the emulated-f64 sweeps
+    plus the n^3 assembly outgrow the host's compacted-active-rows
+    polish, the opposite of the headline shape where the device polish
+    wins 8x — so the HOST path stays the default here and the option is
+    kept for the record.  Lanes the device rejects fall back to the host
+    polish + finisher tail either way, so the certification contract is
+    unchanged.
     """
     import jax
 
@@ -92,11 +106,40 @@ def solve_large_dense(
         d64 = jax.tree.map(np.asarray, stack_problems(problems, np.float64))
     n_pad = d64.q.shape[1]
     x32, y32 = xy[:, :n_pad], xy[:, n_pad:]
-    pol = polish_batch_np(d64, x32, y32, eps_abs=eps, eps_rel=eps, rounds=3)
-    ok = np.asarray(pol.ok)
-    x64 = np.asarray(pol.x)
-    y64 = np.asarray(pol.y)
-    obj = np.asarray(pol.objective)
+    if device_polish and jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        from .polish_device import polish_batch_tpu
+
+        d64d = jax.tree.map(jnp.asarray, d64)
+        pd = polish_batch_tpu(
+            d64d, jnp.asarray(x32), jnp.asarray(y32),
+            eps_abs=eps, eps_rel=eps, refine_iters=4,
+            second_round_k=min(16, len(problems)), seed_guard="norm",
+        )
+        # np.array (not asarray): jax device arrays view as read-only
+        ok = np.array(pd.ok)
+        x64 = np.array(pd.x)
+        y64 = np.array(pd.y)
+        obj = np.array(pd.objective)
+        bad = np.where(~ok)[0]
+        if len(bad):
+            # host polish retry for device rejects (full-f64 LU + more
+            # active-set rounds), before the finisher tier below
+            sub = jax.tree.map(lambda a: a[bad], d64)
+            polh = polish_batch_np(sub, x32[bad], y32[bad],
+                                   eps_abs=eps, eps_rel=eps, rounds=3)
+            ok[bad] = np.asarray(polh.ok)
+            x64[bad] = np.asarray(polh.x)
+            y64[bad] = np.asarray(polh.y)
+            obj[bad] = np.asarray(polh.objective)
+    else:
+        pol = polish_batch_np(d64, x32, y32, eps_abs=eps, eps_rel=eps,
+                              rounds=3)
+        ok = np.asarray(pol.ok)
+        x64 = np.asarray(pol.x)
+        y64 = np.asarray(pol.y)
+        obj = np.asarray(pol.objective)
     bad = np.where(~ok)[0]
     if len(bad):
         sub = jax.tree.map(lambda a: a[bad], d64)
