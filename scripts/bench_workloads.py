@@ -3,15 +3,12 @@
 
 Mirrors the reference's simulations (randomQP.m:22-47 protocol n=20:20:100
 50%-dense Q=MM', lasso.m, portfolio.m) at the MM tolerance eps 1e-6, using
-the framework's certified pipeline on stacked batches (the round-5
-headline machinery):
+the framework's certified pipeline on stacked batches:
 
-    f32 batch pass  ->  ON-DEVICE active-set polish + margin-gated check
-    (qpalm_tpu.polish_device)  ->  native-C f64 re-solve for the ~0.5%
-    the device rejects  ->  untimed native-f64 host referee over every
-    certified lane of the last timed rep.
+    f32 batch pass  ->  f64 active-set polish (KKT-check certified)
+    -> numpy f64 finisher for any lane the polish rejects.
 
-Every reported solve is certified at 1e-6 on the unscaled problem.
+Every reported solve is certified at 1e-6 in f64 on the unscaled problem.
 The baseline column is the native single-threaded C/LAPACK solver
 (native/qpalm_baseline.cpp) on the same instances.
 
@@ -61,10 +58,7 @@ def main():
 
     cpu = jax.devices("cpu")[0]
     EPS = 1e-6
-    # eps 5e-5: same kernel iteration count as 1e-4 on these classes (the
-    # final decades converge in ~1 iteration) but far better active sets
-    # for the polish — the headline-bench round-5 finding
-    s32 = Settings(dtype="float32", eps_abs=5e-5, eps_rel=5e-5,
+    s32 = Settings(dtype="float32", eps_abs=1e-4, eps_rel=1e-4,
                    max_iter=400, scaling=2, max_refine=0, delta=10.0)
 
     def bsize(n):
@@ -139,17 +133,13 @@ def main():
         use_fused = _fused_eligible(s32, Bp, n_pad, m_pad)
 
         # bench.py-style pipelined runner (round-5): split the batch into
-        # <=512-lane rounds, dispatch 2-deep, and certify ON-DEVICE
-        # (qpalm_tpu.polish_device: f32-preconditioned active-set solve,
-        # margin-gated f32-'highest' check, worst-K second-chance round)
-        # — the same machinery as the headline bench.  The host leg per
-        # round is a flag read; the ~0.5% failing lanes get a fresh
-        # native-C f64 solve, and every device-certified lane of the
-        # LAST timed rep is re-checked on the host in native f64
-        # (referee, untimed — disclosed in the report).
+        # <=512-lane rounds, dispatch round k+1's kernel while the host
+        # polishes round k (a background thread waits out the fetch RPC),
+        # batch the retry + finisher once at the end — the framework's
+        # real operating mode, the same machinery the headline bench
+        # measures.  Single-round configs degenerate to the serial path.
         from concurrent.futures import ThreadPoolExecutor
 
-        from qpalm_tpu.polish_device import polish_batch_tpu
         from qpalm_tpu.solver.fused import fused_solve_jit
 
         ROUND = 512
@@ -161,91 +151,65 @@ def main():
         gam_r = jnp.full((rsz,), s32.gamma_init, jnp.float32)
 
         @jax.jit
-        def _pack64(pol):
-            return jnp.concatenate(
-                [pol.x, pol.y, pol.ok[:, None].astype(jnp.float64)],
-                axis=1)
+        def _pack(x, y):
+            return jnp.concatenate([x, y], axis=1)
 
-        def dispatch(d32, d64d, k):
+        def dispatch(d32, k):
             sl = slice(k * rsz, (k + 1) * rsz)
             d32r = jax.tree.map(lambda a: a[sl], d32)
             if use_fused:
                 r = fused_solve_jit(d32r, zx_r, zy_r, s32)
-                x, y = r[0], r[1]
+                packed = _pack(r[0], r[1])
             else:
                 res = solve_batch_jit(d32r, zx_r, zy_r, gam_r, s32,
                                       False, False)
-                x, y = res.x, res.y
-            pol = polish_batch_tpu(
-                jax.tree.map(lambda a: a[sl], d64d), x, y,
-                eps_abs=EPS, eps_rel=EPS, refine_iters=3,
-                second_round_k=min(64, rsz), seed_guard="norm",
-                residual32=True, accept_viol=0.5)
-            packed = _pack64(pol)
+                packed = _pack(res.x, res.y)
             packed.copy_to_host_async()
             return fetch_pool.submit(lambda: np.asarray(packed))
 
-        def rescue(d64, bad, x64, y64, ok):
-            """Fresh native-C f64 solve per failing lane (host-KKT
-            re-certified); numpy P-ALM finisher as the fallback tier."""
-            sub = jax.tree.map(lambda a: a[bad], d64)
-            try:
-                xs = np.zeros((len(bad), n_pad))
-                ys = np.zeros((len(bad), m_pad))
-                for j in range(len(bad)):
-                    r = baseline_c.solve(
-                        sub.Q[j], sub.A[j], sub.q[j], sub.bmin[j],
-                        sub.bmax[j], eps_abs=0.5 * EPS, eps_rel=0.5 * EPS,
-                        scaling=2, delta=10.0)
-                    xs[j], ys[j] = r["x"], r["y"]
-            except RuntimeError:
-                xs, ys = x64[bad], y64[bad]
-            pol2 = polish_batch_np(sub, xs, ys, eps_abs=EPS, eps_rel=EPS,
-                                   rounds=1)
-            ok2 = np.asarray(pol2.ok)
-            x64[bad] = np.asarray(pol2.x)
-            y64[bad] = np.asarray(pol2.y)
-            still = bad[~ok2]
-            if len(still):
-                sub2 = jax.tree.map(lambda a: a[still], d64)
-                fin = palm_finish_np(sub2,
-                                     np.asarray(pol2.x)[~ok2],
-                                     np.asarray(pol2.y)[~ok2],
-                                     eps_abs=EPS, eps_rel=EPS)
-                pol3 = polish_batch_np(sub2, fin.x, fin.y, eps_abs=EPS,
-                                       eps_rel=EPS, rounds=1,
-                                       refine_steps=0)
-                ok[still] = np.asarray(pol3.ok)
-                x64[still] = np.asarray(pol3.x)
-                y64[still] = np.asarray(pol3.y)
-            ok[bad[ok2]] = True
-            return ok
-
-        def run_pipeline(d32, d64, d64d):
+        def run_pipeline(d32, d64):
             ok = np.zeros(Bp, bool)
-            x64 = np.empty((Bp, n_pad))
-            y64 = np.empty((Bp, m_pad))
+            x32 = np.empty((Bp, n_pad), np.float32)
+            y32 = np.empty((Bp, m_pad), np.float32)
             bad_all = []
-            depth = min(2, n_rounds)
-            pending = [dispatch(d32, d64d, j) for j in range(depth)]
+            pending = dispatch(d32, 0)
             for k in range(n_rounds):
-                if k + depth < n_rounds:
-                    pending.append(dispatch(d32, d64d, k + depth))
-                xy = pending.pop(0).result()
+                nxt = dispatch(d32, k + 1) if k + 1 < n_rounds else None
+                xy = pending.result()
                 sl = slice(k * rsz, (k + 1) * rsz)
-                x64[sl] = xy[:, :n_pad]
-                y64[sl] = xy[:, n_pad:n_pad + m_pad]
-                okr = xy[:, -1] > 0.5
+                x32[sl] = xy[:, :n_pad]
+                y32[sl] = xy[:, n_pad:]
+                d64r = jax.tree.map(lambda a: a[sl], d64)
+                pol = polish_batch_np(d64r, xy[:, :n_pad], xy[:, n_pad:],
+                                      eps_abs=EPS, eps_rel=EPS, rounds=1,
+                                      refine_steps=0)
+                okr = np.asarray(pol.ok)
                 ok[sl] = okr
                 bad_all.extend(k * rsz + i for i in np.where(~okr)[0])
+                pending = nxt
             if bad_all:
-                ok = rescue(d64, np.asarray(bad_all), x64, y64, ok)
-            return ok, x64, y64
+                bad = np.asarray(bad_all)
+                sub = jax.tree.map(lambda a: a[bad], d64)
+                pol2 = polish_batch_np(sub, x32[bad], y32[bad],
+                                       eps_abs=EPS, eps_rel=EPS, rounds=3)
+                ok2 = np.asarray(pol2.ok)
+                ok[bad] = ok2
+                still = bad[~ok2]
+                if len(still):
+                    sub2 = jax.tree.map(lambda a: a[still], d64)
+                    fin = palm_finish_np(sub2,
+                                         np.asarray(pol2.x)[~ok2],
+                                         np.asarray(pol2.y)[~ok2],
+                                         eps_abs=EPS, eps_rel=EPS)
+                    pol3 = polish_batch_np(sub2, fin.x, fin.y, eps_abs=EPS,
+                                           eps_rel=EPS, rounds=1,
+                                           refine_steps=0)
+                    ok[still] = np.asarray(pol3.ok)
+            return ok
 
-        d64d = jax.tree.map(jnp.asarray, d64)
         print(f"[sweep] {family} {size}: warm/compile...",
               file=sys.stderr, flush=True)
-        run_pipeline(data32, d64, d64d)  # compile + warm (untimed)
+        run_pipeline(data32, d64)  # compile + warm (untimed)
         print(f"[sweep] {family} {size}: timing (interleaved A/B)...",
               file=sys.stderr, flush=True)
         # VARIANCE-CONTROLLED PROTOCOL (VERDICT r4 directive #3): the
@@ -260,27 +224,14 @@ def main():
         times, base_times, nb = [], [], 0
         for k in range(1, args.reps + 1):
             d32k, d64k = stacks(k)
-            d64dk = jax.tree.map(jnp.asarray, d64k)  # untimed staging
             t0 = time.perf_counter()
-            ok, x64, y64 = run_pipeline(d32k, d64k, d64dk)
+            ok = run_pipeline(d32k, d64k)
             times.append(time.perf_counter() - t0)
             tb = time.perf_counter()
             nb = sum(baseline_c.solve(*p, eps_abs=EPS, eps_rel=EPS,
                                       scaling=2)["status"] == 1
                      for p in sample)
             base_times.append((time.perf_counter() - tb) / len(sample))
-        # untimed host referee (native f64) on every certified lane of
-        # the LAST timed rep; disagreements are dropped from `certified`
-        ref_checked = ref_agree = 0
-        if ok.any():
-            chk = polish_batch_np(
-                jax.tree.map(lambda a: a[ok], d64k), x64[ok], y64[ok],
-                eps_abs=EPS, eps_rel=EPS, rounds=0)
-            ref_checked = int(ok.sum())
-            ref_agree = int(np.asarray(chk.ok).sum())
-            if ref_agree < ref_checked:
-                idx = np.where(ok)[0][~np.asarray(chk.ok)]
-                ok[idx] = False
         import statistics
         dt = statistics.median(times)
         ours = B / dt
@@ -290,7 +241,6 @@ def main():
             "family": family, "size": size, "batch": B,
             "path": "fused" if use_fused else "xla-loop",
             "certified": int(ok.sum()),
-            "referee": [ref_agree, ref_checked],
             "solves_per_s": round(ours, 1),
             "rep_s": [round(t, 4) for t in times],
             "baseline_solves_per_s": round(base_med, 1),
@@ -307,11 +257,8 @@ def main():
         "# Reference simulation-suite sweep (randomQP / lasso / portfolio)",
         "",
         f"Backend: {dev.platform} ({getattr(dev, 'device_kind', '')}).  "
-        f"Every solve certified at eps 1e-6 on the unscaled problem",
-        "(f32 batch pass + ON-DEVICE polish/check + native-C rescue;",
-        "every certified lane of the last timed rep re-checked on the",
-        "host in native f64 — the `referee` field in the JSON rows).",
-        "Baseline: native",
+        f"Every solve certified at eps 1e-6 in f64 on the unscaled problem",
+        "(f32 batch pass + polish + finisher).  Baseline: native",
         "single-threaded C/LAPACK solver on the same instances.",
         "Protocols: reference simulations/randomQP.m:22-47, lasso.m,",
         "portfolio.m at the MM tolerance.",
