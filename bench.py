@@ -249,10 +249,12 @@ def main_tpu():
         # (accept at viol <= 0.5 of threshold), borderline lanes are
         # treated as failures, and the untimed host referee re-checks
         # every certified lane of the median rep in native f64
+        # refine_iters=2: with the eps-5e-5 seeds, 2 sweeps certify the
+        # same 509/512 lane set as 3 (measured on two problem sets)
         pol = polish_batch_tpu(
             datas64d[k], r[0], r[1],
             eps_abs=EPS_TARGET, eps_rel=EPS_TARGET,
-            refine_iters=3, second_round_k=64, seed_guard="norm",
+            refine_iters=2, second_round_k=64, seed_guard="norm",
             residual32=True, accept_viol=0.5,
         )
         packed = _pack64(pol)
