@@ -42,6 +42,7 @@ __version__ = "0.1.0"
 # lightweight): batch solving, workload generators, IO drivers,
 # multi-device distribution, checkpointing, reference-binding compat
 from . import batch, checkpoint, compat, diff, host_sparse, io, parallel, workloads  # noqa: E402
+from . import polish, polish_device  # noqa: E402  (certification pipeline)
 from .host_sparse import (SparseQPALM, solve_sparse_auto,  # noqa: E402
                           solve_sparse_batch, solve_sparse_direct)
 
@@ -56,6 +57,8 @@ __all__ = [
     "io",
     "parallel",
     "workloads",
+    "polish",
+    "polish_device",
     "host_sparse",
     "solve_sparse_direct",
     "solve_sparse_auto",
